@@ -1,0 +1,157 @@
+# -*- coding: utf-8 -*-
+"""Polymer chain models: Debye Gaussian chain and Kholodenko worm.
+
+Reference math: src/mcsas/models/gaussianchain.py:12-73 and
+src/mcsas/models/kholodenko.py:16-94.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.special import gauss_legendre, j1_over_x
+from ..utils.units import ANGSTROM_SLD, NM, NoUnit
+from .base import ParamSpec, SASModel
+
+
+# ----------------------------------------------------------- Gaussian chain
+
+def _gauss_debye_over_u(u):
+    """sqrt(2·(expm1(−u)+u))/u, stable near u→0 (limit 1)."""
+    u = jnp.asarray(u)
+    thr = 0.3 if u.dtype == jnp.float32 else 1e-3
+    small = jnp.abs(u) < thr
+    us = jnp.where(small, jnp.ones_like(u), u)
+    closed = jnp.sqrt(2.0 * (jnp.expm1(-us) + us)) / us
+    # 2(expm1(−u)+u)/u² = 1 − u/3 + u²/12 − u³/60 + u⁴/360 …
+    series = jnp.sqrt(1.0 + u * (-1.0 / 3.0 + u * (
+        1.0 / 12.0 + u * (-1.0 / 60.0 + u / 360.0))))
+    return jnp.where(small, series, closed)
+
+
+def _gauss_ff(q, p):
+    beta = p["bp"] - (p["k"] * p["rg"] ** 2) * p["etas"]
+    u = (q * p["rg"]) ** 2
+    res = _gauss_debye_over_u(u) * beta
+    return jnp.where(q <= 0.0, beta * jnp.ones_like(res), res)
+
+
+def _gauss_volume(p):
+    return p["k"] * p["rg"] ** 2
+
+
+GaussianChain = SASModel(
+    name="GaussianChain",
+    doc="Debye Gaussian polymer coil with excess scattering length β "
+        "(SASfit Gauss2)",
+    params=(
+        ParamSpec("rg", NM.to_si(1.0), NM, (0.0, float("inf")),
+                  active_range=NM.to_si((1.0, 1e2)), generator="logdec1",
+                  is_fit=True, display_name="radius of gyration, Rg"),
+        ParamSpec("bp", NM.to_si(100.0), NM, (0.0, float("inf")),
+                  active_range=NM.to_si((0.1, 1e3)), generator="uniform",
+                  is_fit=True,
+                  display_name="scattering length of the polymer"),
+        ParamSpec("etas", ANGSTROM_SLD.to_si(1e-6), ANGSTROM_SLD,
+                  (0.0, float("inf")),
+                  active_range=ANGSTROM_SLD.to_si((0.1, 10.0)),
+                  generator="uniform", is_fit=True,
+                  display_name="scattering length density of the solvent"),
+        ParamSpec("k", 1.0, NoUnit, (0.0, float("inf")),
+                  active_range=(0.1, 10.0), generator="uniform", is_fit=True,
+                  display_name="volumetric scaling factor of Rg"),
+    ),
+    ff=_gauss_ff,
+    volume=_gauss_volume,
+    default_active=("rg",),
+)
+
+
+# --------------------------------------------------------- Kholodenko worm
+
+# Quadrature layout: the Dirac-propagator kernel decays like e^(−z·rate); the
+# oscillatory regime (q > 3/kuhn) is damped within z ≲ Z_CUT, so we spend a
+# dense composite Gauss-Legendre rule there and a coarse one on the smooth
+# tail.  This replaces the reference's adaptive scipy.integrate.quad
+# (epsrel 1e-10, limit 1e4; reference: models/kholodenko.py:31-38) with a
+# fixed-shape rule suitable for XLA.
+_Z_CUT = 40.0
+_HEAD_NODES, _HEAD_WEIGHTS = gauss_legendre(16, 128)  # 2048 points on [0,1]
+_TAIL_NODES, _TAIL_WEIGHTS = gauss_legendre(8, 8)     # 64 points on [0,1]
+
+
+def _kho_fz(z, t):
+    """f(z) of the Kholodenko propagator, t = q·kuhn/3, stable for large z.
+
+    t<1: sinh(Ez)/(E sinh z),  E=√(1−t²)
+    t>1: sin(Fz)/(F sinh z),   F=√(t²−1)
+    t=1: z/sinh z (both branches' limit)
+    Evaluated with exponential scaling so sinh never overflows.
+    """
+    eps = 1e-12
+    e = jnp.sqrt(jnp.maximum(1.0 - t * t, eps))
+    f = jnp.sqrt(jnp.maximum(t * t - 1.0, eps))
+    one_m_em2z = -jnp.expm1(-2.0 * z)
+    # sinh(Ez)/(E sinh z) = e^{(E−1)z}·(1−e^{−2Ez}) / (E·(1−e^{−2z}))
+    sub = jnp.exp((e - 1.0) * z) * -jnp.expm1(-2.0 * e * z) / (
+        e * (one_m_em2z + eps))
+    # sin(Fz)/(F sinh z) = 2·sin(Fz)·e^{−z} / (F·(1−e^{−2z}))
+    sup = 2.0 * jnp.sin(f * z) * jnp.exp(-z) / (f * (one_m_em2z + eps))
+    fz = jnp.where(t < 1.0, sub, sup)
+    # z→0 limit of all branches is 1
+    return jnp.where(z <= 0.0, jnp.ones_like(fz), fz)
+
+
+def _kho_p0_sq(q, kuhn, contour):
+    """∫₀ˣ f(z)·(2/x)(1−z/x) dz with x = 3·contour/kuhn."""
+    x = 3.0 * contour / kuhn
+    t = q * kuhn / 3.0          # (Nq,)
+    dtype = jnp.result_type(q, kuhn)
+    head_hi = jnp.minimum(x, _Z_CUT)
+
+    def integrate(nodes, weights, lo, hi):
+        z = lo + (hi - lo) * jnp.asarray(nodes, dtype)[:, None]   # (K, 1)
+        w = (hi - lo) * jnp.asarray(weights, dtype)[:, None]
+        core = _kho_fz(z, t[None, :]) * (2.0 / x) * (1.0 - z / x)
+        return jnp.sum(w * core, axis=0)
+
+    total = integrate(_HEAD_NODES, _HEAD_WEIGHTS, 0.0, head_hi)
+    tail = integrate(_TAIL_NODES, _TAIL_WEIGHTS, head_hi, x)
+    total = total + jnp.where(x > _Z_CUT, tail, jnp.zeros_like(tail))
+    return jnp.maximum(total, 0.0)
+
+
+def _kho_ff(q, p):
+    """p0·pcs: worm backbone times circular cross-section
+    (reference: models/kholodenko.py:81-90; non-squared like the original)."""
+    shape = q.shape
+    qf = q.reshape(-1)
+    p0 = jnp.sqrt(_kho_p0_sq(qf, p["lenKuhn"], p["lenContour"]))
+    pcs = 2.0 * j1_over_x(qf * p["radius"])
+    return (p0 * pcs).reshape(shape)
+
+
+def _kho_volume(p):
+    return math.pi * p["lenContour"] * p["radius"] ** 2
+
+
+Kholodenko = SASModel(
+    name="Kholodenko",
+    doc="Worm-like chain after Kholodenko (Macromolecules 26 (1993) 4179)",
+    params=(
+        ParamSpec("radius", NM.to_si(1.0), NM, (0.0, float("inf")),
+                  active_range=NM.to_si((1.0, 5.0)), generator="logdec1",
+                  is_fit=True, display_name="Radius"),
+        ParamSpec("lenKuhn", NM.to_si(1.0), NM, (0.0, float("inf")),
+                  active_range=NM.to_si((10.0, 50.0)), generator="uniform",
+                  is_fit=True, display_name="kuhn length"),
+        ParamSpec("lenContour", NM.to_si(2.0), NM, (0.0, float("inf")),
+                  active_range=NM.to_si((100.0, 1000.0)), generator="uniform",
+                  is_fit=True, display_name="contour length"),
+    ),
+    ff=_kho_ff,
+    volume=_kho_volume,
+    default_active=("radius", "lenKuhn", "lenContour"),
+)

@@ -1,0 +1,237 @@
+# -*- coding: utf-8 -*-
+"""Cylinder model family: orientation-averaged isotropic cylinders and the
+legacy in-plane (radially) isotropic variants.
+
+Reference math: src/mcsas/models/cylindersisotropic.py:16-103,
+cylindersisotropicaspect.py:13-77, cylindersradiallyisotropic.py:14-84,
+cylindersradiallyisotropictilted.py:20-108.
+
+The orientation integrals use fixed division counts (``intDiv`` /
+``psiAngleDivisions``) which are *static* configuration here — they shape the
+XLA computation and cannot be fitted (matching the reference where they are
+plain Parameters, never FitParameters).
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.special import bessel_j1, j1_over_x, sinc_sin
+from ..utils.units import ANGSTROM_SLD, Angle, DEG, NM, NoUnit
+from .base import ParamSpec, SASModel
+
+_D2R = math.pi / 180.0
+
+
+def _cyl_volume(p):
+    if "useAspect" in p:
+        half = jnp.where(p["useAspect"] != 0.0,
+                         p["radius"] * p["aspect"], 0.5 * p["length"])
+    else:
+        half = p["radius"] * p["aspect"]
+    return math.pi * p["radius"] ** 2 * (2.0 * half)
+
+
+def _cyl_absvolume(p):
+    return _cyl_volume(p) * p["sld"] ** 2
+
+
+# --------------------------------------------------- CylindersIsotropic
+
+def _cyl_iso_ff(q, p):
+    """SASfit eq. 3.215 orientation average (reference:
+    cylindersisotropic.py:50-90), integrating x = cos α over [0, 1] with the
+    reference's explicit endpoint limits:
+    x→0: ½·J1(qR)/(qR);  x→1: sin(qL/2·2)/(qL·…) = sinc(q·halfLength)."""
+    n = int(p["intDiv"])
+    x, step = np.linspace(0.0, 1.0, n, retstep=True)
+    x = jnp.asarray(x[1:-1], dtype=q.dtype)           # interior points
+    half = jnp.where(p["useAspect"] != 0.0,
+                     p["radius"] * p["aspect"], 0.5 * p["length"])
+    qr_sqrtx = jnp.outer(q, p["radius"] * jnp.sqrt(1.0 - x * x))
+    qlx = jnp.outer(q, 2.0 * half * x)
+    fmid = bessel_j1(qr_sqrtx) * jnp.sin(qlx / 2.0) / (qr_sqrtx * qlx)
+    f0 = 0.5 * j1_over_x(q * p["radius"])             # x→0 limit
+    f1 = sinc_sin(q * half)                           # x→1 limit
+    fsq = jnp.concatenate(
+        [f0[:, None] ** 2, fmid ** 2, f1[:, None] ** 2], axis=1)
+    # trapezoid rule with uniform step, matching np.trapz(f², dx=step)
+    integral = step * (jnp.sum(fsq, axis=1)
+                       - 0.5 * (fsq[:, 0] + fsq[:, -1]))
+    return jnp.sqrt(16.0 * integral)
+
+
+CylindersIsotropic = SASModel(
+    name="CylindersIsotropic",
+    doc="Orientation-averaged isotropic cylinders (SASfit eq. 3.215)",
+    params=(
+        ParamSpec("radius", NM.to_si(1.0), NM,
+                  (NM.to_si(0.1), float("inf")), generator="logdec1",
+                  is_fit=True, display_name="Cylinder Radius"),
+        ParamSpec("useAspect", 1.0, NoUnit, (0.0, 1.0),
+                  display_name="Use aspect ratio (1) or length (0)"),
+        ParamSpec("length", NM.to_si(10.0), NM,
+                  (NM.to_si(0.1), NM.to_si(1e10)), generator="logdec1",
+                  is_fit=True, display_name="Length L of the Cylinder"),
+        ParamSpec("aspect", 10.0, NoUnit, (1e-3, 1e3), generator="logdec1",
+                  is_fit=True, display_name="Aspect ratio of the Cylinder"),
+        ParamSpec("intDiv", 100.0, NoUnit, (1.0, 1e4),
+                  display_name="Orientation Integration Divisions"),
+        ParamSpec("sld", ANGSTROM_SLD.to_si(1e-6), ANGSTROM_SLD,
+                  (0.0, float("inf")),
+                  display_name="Scattering length density difference"),
+    ),
+    ff=_cyl_iso_ff,
+    volume=_cyl_volume,
+    absvolume=_cyl_absvolume,
+    default_active=("radius",),
+)
+
+
+# --------------------------------------- CylindersIsotropicAspect (legacy)
+
+def _cyl_iso_aspect_ff(q, p):
+    """Legacy duplicate cylinder over a ψ grid (reference:
+    cylindersisotropicaspect.py:46-71, including its double angle
+    conversion of the SI ψ grid — preserved verbatim for parity)."""
+    n = int(p["psiAngleDivisions"])
+    psi = np.linspace(0.0, math.pi, n) * _D2R   # reference converts twice
+    psi = jnp.asarray(psi, dtype=q.dtype)
+    qr_sina = jnp.outer(q, p["radius"] * jnp.sin(psi))
+    ql_cosa = jnp.outer(q, p["radius"] * p["aspect"] * jnp.cos(psi))
+    fsplit = (2.0 * j1_over_x(qr_sina) * sinc_sin(ql_cosa)
+              * jnp.sqrt(jnp.abs(jnp.sin(psi))[None, :]))
+    return jnp.sqrt(jnp.mean(fsplit ** 2, axis=1))
+
+
+CylindersIsotropicAspect = SASModel(
+    name="CylindersIsotropicAspect",
+    doc="Legacy aspect-ratio cylinder over a ψ grid",
+    params=(
+        ParamSpec("radius", NM.to_si(1.0), NM, (0.0, float("inf")),
+                  active_range=NM.to_si((0.1, 1e3)), generator="uniform",
+                  is_fit=True, display_name="Cylinder radius"),
+        ParamSpec("aspect", 10.0, NoUnit, (0.0, float("inf")),
+                  active_range=(1.0, 20.0), generator="uniform", is_fit=True,
+                  display_name="Aspect ratio L/(2R) of the cylinder"),
+        ParamSpec("psiAngle", DEG.to_si(10.0), DEG,
+                  (0.0, DEG.to_si(180.0)), generator="uniform", is_fit=True,
+                  display_name="in-plane cylinder rotation"),
+        ParamSpec("psiAngleDivisions", 303.0, NoUnit, (1.0, float("inf")),
+                  display_name="in-plane angle divisions"),
+    ),
+    ff=_cyl_iso_aspect_ff,
+    volume=lambda p: math.pi * p["radius"] ** 2
+    * (2.0 * p["radius"] * p["aspect"]),
+    default_active=("radius", "psiAngle"),
+)
+
+
+# ------------------------------------------ CylindersRadiallyIsotropic
+
+def _cyl_radial_ff(q, p):
+    """In-plane isotropic cylinders (reference:
+    cylindersradiallyisotropic.py:50-75): ψ grid spans the psiAngle value
+    range, rotated by the fitted psiAngle."""
+    n = int(p["psiAngleDivisions"])
+    psi = jnp.asarray(
+        np.linspace(0.01, 2.0 * math.pi + 0.01, n), dtype=q.dtype)
+    a = psi - p["psiAngle"]
+    qr_sina = jnp.outer(q, p["radius"] * jnp.sin(a))
+    ql_cosa = jnp.outer(q, p["radius"] * p["aspect"] * jnp.cos(a))
+    fsplit = 2.0 * j1_over_x(qr_sina) * sinc_sin(ql_cosa)
+    return jnp.sqrt(jnp.mean(fsplit ** 2, axis=1))
+
+
+CylindersRadiallyIsotropic = SASModel(
+    name="CylindersRadiallyIsotropic",
+    doc="Radially (in-plane) isotropic cylinders",
+    params=(
+        ParamSpec("radius", NM.to_si(1.0), NM,
+                  (NM.to_si(0.1), float("inf")),
+                  active_range=NM.to_si((0.1, 1e3)), generator="logdec1",
+                  is_fit=True, display_name="Cylinder radius"),
+        ParamSpec("aspect", 10.0, NoUnit, (0.1, float("inf")),
+                  active_range=(1.0, 20.0), generator="uniform", is_fit=True,
+                  display_name="Aspect ratio L/(2R) of the cylinder"),
+        ParamSpec("psiAngle", 0.17, Angle("rad"),
+                  (0.01, 2.0 * math.pi + 0.01), generator="uniform",
+                  is_fit=True, display_name="in-plane cylinder rotation"),
+        ParamSpec("psiAngleDivisions", 303.0, NoUnit, (1.0, float("inf")),
+                  display_name="in-plane angle divisions"),
+        ParamSpec("sld", ANGSTROM_SLD.to_si(1e-6), ANGSTROM_SLD,
+                  (0.0, float("inf")),
+                  display_name="scattering length density difference"),
+    ),
+    ff=_cyl_radial_ff,
+    volume=lambda p: math.pi * p["radius"] ** 2
+    * (2.0 * p["radius"] * p["aspect"]),
+    absvolume=lambda p: math.pi * p["radius"] ** 2
+    * (2.0 * p["radius"] * p["aspect"]) * p["sld"] ** 2,
+    default_active=("radius", "psiAngle"),
+)
+
+
+# ------------------------------------- CylindersRadiallyIsotropicTilted
+
+def _phi_centroids(divisions: int) -> np.ndarray:
+    """Equal-probability Gaussian segment centroids (positive z-scores).
+
+    Reproduces scipy.stats.norm.interval over linspace(0, 0.99, n+1)
+    (reference: cylindersradiallyisotropictilted.py:71-74) without scipy:
+    interval(x)[1] == ppf(0.5 + x/2)."""
+    from statistics import NormalDist
+    x = np.linspace(0.0, 0.99, divisions + 1)
+    ctr = x[:-1] + np.diff(x) / 2.0
+    nd = NormalDist()
+    return np.array([nd.inv_cdf(0.5 + c / 2.0) for c in ctr])
+
+
+def _cyl_tilted_ff(q, p):
+    """Radially isotropic cylinders with Gaussian out-of-plane tilt.
+    NOTE: marked *UNFINISHED* upstream — the tilt centroids are standard
+    z-scores interpreted as degrees and phiDistWidth is unused; behavior is
+    preserved verbatim for parity (reference:
+    cylindersradiallyisotropictilted.py:61-102)."""
+    n = int(p["psiAngleDivisions"])
+    psi = jnp.asarray(np.linspace(0.1, 180.1, n), dtype=q.dtype)
+    phi_ctr = _phi_centroids(int(p["phiDistDivisions"]))
+    qr_sina = jnp.outer(q, p["radius"] * jnp.sin(psi * _D2R))
+    fcyl = 0.0
+    for phi in phi_ctr:
+        ql_cosa = jnp.outer(
+            q, p["radius"] * p["aspect"]
+            * math.cos(phi * _D2R) * jnp.cos(psi * _D2R))
+        fsplit = (2.0 * j1_over_x(qr_sina)
+                  * sinc_sin(ql_cosa))
+        fcyl = fcyl + jnp.sqrt(jnp.mean(fsplit ** 2, axis=1)) / len(phi_ctr)
+    return fcyl
+
+
+CylindersRadiallyIsotropicTilted = SASModel(
+    name="CylindersRadiallyIsotropicTilted",
+    doc="Radially isotropic cylinders with Gaussian out-of-plane tilt "
+        "(UNFINISHED upstream, kept for parity)",
+    params=(
+        ParamSpec("radius", 1.0, NoUnit, (0.1, float("inf")),
+                  active_range=(0.1, 1e3), generator="uniform", is_fit=True,
+                  display_name="Cylinder radius"),
+        ParamSpec("aspect", 10.0, NoUnit, (0.1, float("inf")),
+                  active_range=(1.0, 20.0), generator="uniform", is_fit=True,
+                  display_name="Aspect ratio L/(2R) of the cylinder"),
+        ParamSpec("psiAngle", 0.1, NoUnit, (0.1, 180.1), generator="uniform",
+                  is_fit=True, display_name="in-plane cylinder rotation"),
+        ParamSpec("psiAngleDivisions", 303.0, NoUnit, (1.0, float("inf")),
+                  display_name="in-plane angle divisions"),
+        ParamSpec("phiDistWidth", 10.0, NoUnit, (0.1, 90.1),
+                  display_name="out-of-plane axis distribution width"),
+        ParamSpec("phiDistDivisions", 9.0, NoUnit, (1.0, float("inf")),
+                  display_name="out of plane integration divisions"),
+    ),
+    ff=_cyl_tilted_ff,
+    volume=lambda p: math.pi * p["radius"] ** 2
+    * (2.0 * p["radius"] * p["aspect"]),
+    default_active=("radius",),
+)

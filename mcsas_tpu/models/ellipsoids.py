@@ -1,0 +1,155 @@
+# -*- coding: utf-8 -*-
+"""Ellipsoid models: isotropic spheroids and core-shell variants.
+
+Reference math: src/mcsas/models/ellipsoidsisotropic.py:15-86,
+sphericalcoreshell.py:12-78, ellipsoidalcoreshell.py:14-99.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.special import sphere_ff
+from ..utils.units import ANGSTROM_SLD, NM, NoUnit, SLD
+from .base import ParamSpec, SASModel
+
+_PI43 = 4.0 * math.pi / 3.0
+
+
+# ------------------------------------------------- EllipsoidsIsotropic
+
+def _ell_iso_rc(p):
+    return jnp.where(p["useAspect"] != 0.0, p["a"] * p["aspect"], p["c"])
+
+
+def _ell_iso_ff(q, p):
+    """Orientation-averaged spheroid a=b, c (Pedersen 1997; reference:
+    ellipsoidsisotropic.py:51-71): plug r(α)=√(a²sin²α+c²cos²α) into the
+    Rayleigh function and average F²·sin α over α ∈ [0, π/2]."""
+    n = int(p["intDiv"])
+    alpha = jnp.asarray(np.linspace(0.0, math.pi / 2.0, n), dtype=q.dtype)
+    rc = _ell_iso_rc(p)
+    r_plug = jnp.sqrt(p["a"] ** 2 * jnp.sin(alpha) ** 2
+                      + rc ** 2 * jnp.cos(alpha) ** 2)
+    fsplit = sphere_ff(jnp.outer(q, r_plug))
+    return jnp.sqrt(jnp.mean(fsplit ** 2 * jnp.sin(alpha)[None, :], axis=1))
+
+
+def _ell_iso_volume(p):
+    return _PI43 * p["a"] ** 2 * _ell_iso_rc(p)
+
+
+EllipsoidsIsotropic = SASModel(
+    name="EllipsoidsIsotropic",
+    doc="Isotropic spheroid with semi-axes a=b, c (SASfit Ellipsoid II)",
+    params=(
+        ParamSpec("a", NM.to_si(1.0), NM, NM.to_si((0.1, 1e10)),
+                  active_range=NM.to_si((0.1, 1e3)), generator="logdec1",
+                  is_fit=True, display_name="Radius of semi-axes a, b"),
+        ParamSpec("useAspect", 1.0, NoUnit, (0.0, 1.0),
+                  display_name="Use aspect ratio (1) or c-axis length (0)"),
+        ParamSpec("c", NM.to_si(10.0), NM, NM.to_si((0.1, 1e10)),
+                  active_range=NM.to_si((1.0, 1e4)), generator="logdec1",
+                  is_fit=True, display_name="Radius of semi-axes c"),
+        ParamSpec("aspect", 10.0, NoUnit, (1e-3, 1e3), generator="logdec1",
+                  is_fit=True, display_name="aspect ratio of c to a, b"),
+        ParamSpec("intDiv", 100.0, NoUnit, (1.0, 1e4),
+                  display_name="Orientation Integration Divisions"),
+        ParamSpec("sld", ANGSTROM_SLD.to_si(1e-6), ANGSTROM_SLD,
+                  (0.0, SLD("Å⁻²").to_si(1e-2)),
+                  display_name="Scattering length density difference"),
+    ),
+    ff=_ell_iso_ff,
+    volume=_ell_iso_volume,
+    absvolume=lambda p: _ell_iso_volume(p) * p["sld"] ** 2,
+    default_active=("a",),
+)
+
+
+# ------------------------------------------------- SphericalCoreShell
+
+def _sph_cs_ff(q, p):
+    """Spherical Shell III (SASfit §3.1.4; reference:
+    sphericalcoreshell.py:50-69): K(q,R+t,ηs−ηsol) − (vc/vt)·K(q,R,ηs−ηc)
+    with K(q,r,Δη) = Δη·3(sin qr − qr cos qr)/(qr)³."""
+    r, t = p["radius"], p["t"]
+    vc = _PI43 * r ** 3
+    vt = _PI43 * (r + t) ** 3
+    v_ratio = vc / vt
+    ks = (p["eta_s"] - p["eta_sol"]) * sphere_ff(q * (r + t))
+    kc = (p["eta_s"] - p["eta_c"]) * sphere_ff(q * r)
+    return ks - v_ratio * kc
+
+
+SphericalCoreShell = SASModel(
+    name="SphericalCoreShell",
+    doc="Core-shell sphere (SASfit Spherical Shell III, §3.1.4)",
+    params=(
+        ParamSpec("radius", NM.to_si(1.0), NM, (0.0, float("inf")),
+                  active_range=NM.to_si((0.1, 1e3)), generator="logdec1",
+                  is_fit=True, display_name="Core Radius"),
+        ParamSpec("t", NM.to_si(1.0), NM, (0.0, float("inf")),
+                  active_range=NM.to_si((0.1, 1e3)), generator="logdec1",
+                  is_fit=True, display_name="Thickness of Shell"),
+        ParamSpec("eta_c", ANGSTROM_SLD.to_si(3.16e-6), ANGSTROM_SLD,
+                  (0.0, float("inf")), display_name="Core SLD"),
+        ParamSpec("eta_s", ANGSTROM_SLD.to_si(2.53e-6), ANGSTROM_SLD,
+                  (0.0, float("inf")), display_name="Shell SLD"),
+        ParamSpec("eta_sol", 0.0, ANGSTROM_SLD, (0.0, float("inf")),
+                  display_name="Solvent SLD"),
+    ),
+    ff=_sph_cs_ff,
+    volume=lambda p: _PI43 * (p["radius"] + p["t"]) ** 3,
+    surface=lambda p: 4.0 * math.pi * (p["radius"] + p["t"]) ** 2,
+    default_active=("radius",),
+)
+
+
+# ----------------------------------------------- EllipsoidalCoreShell
+
+def _ell_cs_ff(q, p):
+    """Core-shell ellipsoid (SASfit §3.2.3; reference:
+    ellipsoidalcoreshell.py:59-90): orientation average over μ ∈ [0, 1] of
+    the SLD-weighted sum of 3j1(x)/x terms (== the Rayleigh function)."""
+    n = int(p["intDiv"])
+    mu = jnp.asarray(np.linspace(0.0, 1.0, n), dtype=q.dtype)
+    a, b, t = p["a"], p["b"], p["t"]
+    vc = _PI43 * a * b ** 2
+    vt = _PI43 * (a + t) * (b + t) ** 2
+    v_ratio = vc / vt
+    xc = jnp.outer(q, jnp.sqrt(a ** 2 * mu ** 2 + b ** 2 * (1.0 - mu ** 2)))
+    xt = jnp.outer(q, jnp.sqrt((a + t) ** 2 * mu ** 2
+                               + (b + t) ** 2 * (1.0 - mu ** 2)))
+    fsplit = ((p["eta_c"] - p["eta_s"]) * v_ratio * sphere_ff(xc)
+              + (p["eta_s"] - p["eta_sol"]) * sphere_ff(xt))
+    return jnp.sqrt(jnp.mean(fsplit ** 2, axis=1))
+
+
+EllipsoidalCoreShell = SASModel(
+    name="EllipsoidalCoreShell",
+    doc="Core-shell ellipsoid (SASfit §3.2.3)",
+    params=(
+        ParamSpec("a", NM.to_si(1.0), NM, (0.0, float("inf")),
+                  active_range=NM.to_si((0.1, 1e3)), generator="logdec1",
+                  is_fit=True, display_name="Principal Core Radius"),
+        ParamSpec("b", NM.to_si(10.0), NM, (0.0, float("inf")),
+                  active_range=NM.to_si((1.0, 1e4)), generator="logdec1",
+                  is_fit=True, display_name="Equatorial Core Radius"),
+        ParamSpec("t", NM.to_si(1.0), NM, (0.0, float("inf")),
+                  active_range=NM.to_si((0.1, 1e3)), generator="logdec1",
+                  is_fit=True, display_name="Thickness of Shell"),
+        ParamSpec("eta_c", ANGSTROM_SLD.to_si(3.15e-6), ANGSTROM_SLD,
+                  (0.0, float("inf")), display_name="Core SLD"),
+        ParamSpec("eta_s", ANGSTROM_SLD.to_si(2.53e-6), ANGSTROM_SLD,
+                  (0.0, float("inf")), display_name="Shell SLD"),
+        ParamSpec("eta_sol", 0.0, ANGSTROM_SLD, (0.0, float("inf")),
+                  display_name="Solvent SLD"),
+        ParamSpec("intDiv", 100.0, NoUnit, (1.0, 1e4),
+                  display_name="Orientation Integration Divisions"),
+    ),
+    ff=_ell_cs_ff,
+    volume=lambda p: _PI43 * (p["a"] + p["t"]) * (p["b"] + p["t"]) ** 2,
+    default_active=("a",),
+)

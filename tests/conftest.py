@@ -1,0 +1,46 @@
+# -*- coding: utf-8 -*-
+"""Test harness configuration.
+
+Tests run on the CPU backend with 8 virtual devices so the multi-chip
+sharding paths are exercised without TPU hardware, and with x64 enabled so
+golden-curve validation happens at full precision (the engine is explicitly
+float32 everywhere it matters, so this also catches any implicit-dtype
+leaks).
+"""
+import os
+import pathlib
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "true")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+jax.config.update("jax_compilation_cache_dir", str(_REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+import pytest  # noqa: E402
+
+REFDATA = pathlib.Path("/root/reference/testdata")
+REFMODELDATA = pathlib.Path(
+    "/root/reference/src/mcsas/models/testData")
+
+
+@pytest.fixture(scope="session")
+def refdata():
+    if not REFDATA.is_dir():
+        pytest.skip("reference testdata not available")
+    return REFDATA
+
+
+@pytest.fixture(scope="session")
+def refmodeldata():
+    if not REFMODELDATA.is_dir():
+        pytest.skip("reference model testData not available")
+    return REFMODELDATA

@@ -1,0 +1,109 @@
+# -*- coding: utf-8 -*-
+"""Parser robustness: every ASCII dialect fixture must load to the same
+array as the canonical file (the reference ships these fixtures untested;
+reference: testdata/'testData01 *.csv')."""
+import numpy as np
+import pytest
+
+from mcsas_tpu.io import load_raw, load_pdh, write_pdh, write_ascii
+from mcsas_tpu.io.ascii import parse_line, read_array, FileReadError
+
+DIALECTS = [
+    "testData01 commaDelim.csv",
+    "testData01 decimalComma.csv",
+    "testData01 emptyInterspersedLines.csv",
+    "testData01 emptyLines.csv",
+    "testData01 footer.csv",
+    "testData01 leadingTrailingSpaces.csv",
+    "testData01 spaceDelim.csv",
+    "testData01 tabDelim.csv",
+    "testData01 twoLineHeader.csv",
+    "testData01 UnicodeTwoLineHeader.csv",
+]
+
+
+@pytest.fixture(scope="module")
+def canonical(refdata):
+    raw, _ = load_raw(refdata / "testData01.csv")
+    return raw
+
+
+@pytest.mark.parametrize("fn", DIALECTS)
+def test_dialects_match_canonical(refdata, canonical, fn):
+    raw, _ = load_raw(refdata / fn)
+    # the extra-column fixture keeps its extra column; compare common cols
+    cols = min(raw.shape[1], canonical.shape[1])
+    assert raw.shape[0] == canonical.shape[0]
+    np.testing.assert_allclose(raw[:, :cols], canonical[:, :cols], rtol=1e-12)
+
+
+def test_extra_column(refdata, canonical):
+    raw, _ = load_raw(refdata / "testData01 extraCol.csv")
+    assert raw.shape[0] == canonical.shape[0]
+    assert raw.shape[1] >= canonical.shape[1]
+    np.testing.assert_allclose(raw[:, :2], canonical[:, :2], rtol=1e-12)
+
+
+def test_cr_only_line_endings(refdata):
+    """quickstartdemo1.csv uses CR-only line endings + semicolons."""
+    raw, title = load_raw(refdata / "quickstartdemo1.csv")
+    assert title == "quickstartdemo1"
+    assert raw.shape == (101, 3)
+    assert raw[0, 0] == pytest.approx(0.01)
+    assert raw[-1, 0] == pytest.approx(1.0)
+
+
+def test_sasfit_four_columns(refdata):
+    raw, _ = load_raw(refdata / "sasfit_sphere-10-1.dat")
+    assert raw.shape == (501, 4)
+    assert raw[0, 1] == pytest.approx(1.75456e7)
+
+
+def test_parse_line_variants():
+    assert parse_line("1,5 2,5") == (1.5, 2.5)          # decimal comma
+    assert parse_line("1.5,2.5") == (1.5, 2.5)          # comma delim
+    assert parse_line("1.5;2.5") == (1.5, 2.5)          # semicolon
+    assert parse_line("  1.5\t2.5  ") == (1.5, 2.5)     # tab + spaces
+    assert parse_line("# header") is None
+    assert parse_line("") is None
+
+
+def test_read_array_header_footer():
+    lines = ["junk header", "more junk", "1 2", "3 4", "footer text", "5 6"]
+    arr = read_array(lines)
+    np.testing.assert_array_equal(arr, [[1, 2], [3, 4]])
+
+
+def test_read_array_empty_raises():
+    with pytest.raises(FileReadError):
+        read_array(["no", "numbers", "anywhere"])
+
+
+def test_pdh_roundtrip(tmp_path):
+    data = np.array([[0.1, 10.0, 1.0], [0.2, 5.0, 0.5]])
+    fn = tmp_path / "test.pdh"
+    write_pdh(fn, data, description="roundtrip")
+    back = load_pdh(fn)
+    np.testing.assert_allclose(back, data, rtol=1e-6)
+
+
+def test_ascii_roundtrip(tmp_path):
+    data = np.array([[1e-9, 2e10, 3.0], [4.0, 5.0, 6.0]])
+    fn = tmp_path / "test.dat"
+    write_ascii(fn, data, header=("a", "b", "c"))
+    raw, _ = load_raw(fn)
+    np.testing.assert_allclose(raw, data, rtol=1e-6)
+
+
+def test_nxcansas_roundtrip(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    from mcsas_tpu.io import load_nxcansas, write_nxcansas
+    q = np.linspace(0.01, 1.0, 50)
+    i = 1.0 / (1.0 + q ** 2)
+    u = 0.01 * i
+    fn = tmp_path / "test.h5"
+    write_nxcansas(fn, q, i, u)
+    raw = load_nxcansas(fn)
+    np.testing.assert_allclose(raw[:, 0], q, rtol=1e-12)
+    np.testing.assert_allclose(raw[:, 1], i, rtol=1e-12)
+    np.testing.assert_allclose(raw[:, 2], u, rtol=1e-12)
