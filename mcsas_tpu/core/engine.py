@@ -1,0 +1,346 @@
+# -*- coding: utf-8 -*-
+"""The Monte-Carlo fitting engine: reference McSAS.mcFit/analyse rebuilt as
+a chunked ``lax.scan`` over a fixed-shape device state.
+
+Reference control flow (src/mcsas/mcsas/mcsas.py:287-439): a Python while
+loop mutating one contribution at a time — two single-contribution model
+evaluations plus a scipy LM fit per iteration, sequentially over up to 1e5
+iterations × numReps repetitions (:191-285).  The TPU-native recast:
+
+* Per repetition the state carries the full per-contribution intensity
+  bank ``ibank`` (N × Nq, float32, ~150 KB — VMEM-resident), so the
+  incremental total update is ``ft − ibank[ri] + I(rt)``: *one* kernel row
+  evaluation per step instead of the reference's two (the old row is
+  cached, mcsas.py:360-371 recomputes it).
+* The scale/background LM fit becomes the closed-form solve of
+  :mod:`fitcore` — exact, fused into the step.
+* The data-dependent ``while χ² > crit`` becomes a *chunked* scan: a jitted
+  ``lax.scan`` of ``chunk_steps`` masked steps, with convergence / retry /
+  abort decisions on the host between chunks (bounded wasted work, same
+  semantics as the reference's loop + retry at mcsas.py:214-246).
+* The numReps uncertainty ensemble is ``vmap``-batched and, on a device
+  mesh, sharded over the "rep" axis (zero-communication data parallelism —
+  see :mod:`mcsas_tpu.parallel`).
+* Intensities are computed with the weight normalized by a host-side
+  float64 reference volume (w/w_ref): float32 never touches the ~1e-32 SI
+  magnitudes, and the fitted scale absorbs the factor exactly.
+
+Float discipline: ``ft`` is refreshed from the bank at every chunk boundary,
+so incremental float32 drift is bounded to one chunk (the reference worries
+about the same drift in float64, mcsas.py:365-366).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import McSASConfig
+from ..data import SASData
+from ..models.base import BoundModel
+from .fitcore import FitConstants, make_constants, solve_scale_bg
+from .rng import draw_params
+
+log = logging.getLogger(__name__)
+
+
+class RepState(NamedTuple):
+    """Per-repetition MC state; batched with a leading rep axis."""
+    key: jax.Array
+    rset: jax.Array      # (N, P) contribution parameters, SI
+    ibank: jax.Array     # (N, Nq) per-contribution intensities (normalized)
+    ft: jax.Array        # (Nq,) total intensity
+    wset: jax.Array      # (N,) weights w/w_ref
+    vset: jax.Array      # (N,) absolute volumes (SI)
+    sset: jax.Array      # (N,) surfaces (SI)
+    scale: jax.Array     # fitted A (normalized-intensity units)
+    background: jax.Array
+    conval: jax.Array    # current reduced χ²
+    ri: jax.Array        # contribution cursor (int32)
+    n_iter: jax.Array    # iterations done this attempt (int32)
+    n_moves: jax.Array   # accepted moves (int32)
+
+
+@dataclass
+class EngineResult:
+    """Raw engine output for one ensemble run (numpy, host)."""
+    contribs: np.ndarray      # (R, N, P) SI
+    conval: np.ndarray        # (R,)
+    n_iter: np.ndarray        # (R,)
+    n_moves: np.ndarray       # (R,)
+    attempts: np.ndarray      # (R,) mcFit attempts used
+    converged: np.ndarray     # (R,) bool
+    scaling: np.ndarray       # (R,) scale in SI intensity units
+    background: np.ndarray    # (R,)
+    measval: np.ndarray       # (R, Nq) fitted model curve A·I+b (data units)
+    w_ref: float              # weight normalization used on device
+    elapsed: float            # seconds
+    iters_per_sec: float
+    moves_per_sec: float
+
+    @property
+    def num_reps(self) -> int:
+        return self.contribs.shape[0]
+
+
+def make_intensity_kernels(bound: BoundModel, data: SASData,
+                           cfg: McSASConfig, dtype):
+    """Builds (intensity_row, props_row) pure kernels for the fit grid.
+
+    intensity_row(grid, pvec) -> (Nq,): F²·(w/w_ref), optionally smeared via
+    the precomputed contraction (reference smearing path:
+    src/mcsas/bases/model/sasmodel.py:46-79).  The grid is an explicit
+    argument so a shard_map caller can pass the q-axis shard local to each
+    device.
+    props_row(pvec) -> (w_norm, v_abs, surface).
+    """
+    comp_exp = cfg.compensation_exponent
+    v_ref = bound.reference_volume()
+    smearing = data.uses_smearing and bound.model.can_smear
+    if smearing:
+        full_grid = jnp.asarray(data.locs, dtype)
+        smear_w = jnp.asarray(data.smear_w, dtype)
+    else:
+        full_grid = jnp.asarray(data.q, dtype)
+
+    def weight_norm(pvec):
+        return (bound.volume(pvec) / v_ref) ** (2.0 * comp_exp)
+
+    def intensity_row(grid, pvec):
+        ffv = bound.ff(grid, pvec)
+        w = weight_norm(pvec)
+        if smearing:
+            return (ffv * ffv) @ smear_w * w
+        return ffv * ffv * w
+
+    def props_row(pvec):
+        return (weight_norm(pvec), bound.absvolume(pvec), bound.surf(pvec))
+
+    return intensity_row, props_row, full_grid, v_ref ** (2.0 * comp_exp)
+
+
+class McSASEngine:
+    """Compiled MC fitter for one (data, model, config) triple.
+
+    Reusable across runs (retries, series fits over same-shaped data): all
+    jitted functions are built once in __init__.
+    """
+
+    def __init__(self, data: SASData, bound: BoundModel, cfg: McSASConfig,
+                 sharding=None):
+        if data.count < 1:
+            raise ValueError("no data points on the fit grid")
+        self.data = data
+        self.bound = bound
+        self.cfg = cfg
+        self.dtype = jnp.dtype(cfg.dtype)
+        self.sharding = sharding
+        self.n_contribs = cfg.num_contribs
+        self.consts: FitConstants = make_constants(data.f, data.fu,
+                                                   self.dtype)
+        (self._intensity_row, self._props_row, self.grid,
+         self.w_ref) = make_intensity_kernels(bound, data, cfg, self.dtype)
+
+        self._init_batch = jax.jit(jax.vmap(self._init_rep))
+        self._chunk_batch = jax.jit(jax.vmap(self._run_chunk))
+        self._reinit_merge = jax.jit(self._merge_reinit)
+
+    # ------------------------------------------------------------- build
+    def _init_rep(self, key, grid=None, consts=None,
+                  axis_name=None) -> RepState:
+        grid = self.grid if grid is None else grid
+        consts = self.consts if consts is None else consts
+        cfg, bound = self.cfg, self.bound
+        n = self.n_contribs
+        key, sub = jax.random.split(key)
+        if cfg.start_from_minimum:
+            # deprecated reference option: start all contributions at half
+            # the minimum of the active range (mcsas.py:310-315)
+            mins = []
+            for (lo, hi) in bound.ranges:
+                if lo == 0.0:
+                    lo = float(np.pi / self.data.q_limit[1])
+                mins.append(0.5 * lo)
+            rset = jnp.broadcast_to(
+                jnp.asarray(mins, self.dtype), (n, bound.n_active))
+        else:
+            rset = draw_params(sub, bound, count=n, dtype=self.dtype)
+        ibank = jax.vmap(lambda p: self._intensity_row(grid, p))(rset)
+        ft = jnp.sum(ibank, axis=0)
+        wset, vset, sset = jax.vmap(self._props_row)(rset)
+        sol = solve_scale_bg(ft, consts, cfg.find_background,
+                             cfg.positive_background, axis_name=axis_name)
+        zero = jnp.zeros((), jnp.int32)
+        return RepState(key=key, rset=rset, ibank=ibank, ft=ft,
+                        wset=wset.astype(self.dtype),
+                        vset=vset.astype(self.dtype),
+                        sset=sset.astype(self.dtype),
+                        scale=sol.scale, background=sol.background,
+                        conval=sol.chisqr, ri=zero, n_iter=zero,
+                        n_moves=zero)
+
+    def _step(self, state: RepState, grid=None, consts=None,
+              axis_name=None) -> RepState:
+        """One accept/reject move (reference hot loop mcsas.py:354-404).
+
+        With candidates_per_step == K > 1, K proposals for the *same* slot
+        are evaluated batched and the best improving one is accepted —
+        per-slot proposal density and accept criterion identical to K
+        reference iterations on that slot, at one step's latency.
+        """
+        grid = self.grid if grid is None else grid
+        consts = self.consts if consts is None else consts
+        cfg = self.cfg
+        k_cand = cfg.candidates_per_step
+        crit = jnp.asarray(cfg.convergence_criterion, self.dtype)
+        active = (state.conval > crit) & (state.n_iter < cfg.max_iterations)
+
+        key, sub = jax.random.split(state.key)
+        ri = state.ri
+        if k_cand == 1:
+            rt = draw_params(sub, self.bound, dtype=self.dtype)     # (P,)
+            i_new = self._intensity_row(grid, rt)                   # (Nq,)
+            ft_test = state.ft - state.ibank[ri] + i_new
+            sol = solve_scale_bg(ft_test, consts,
+                                 cfg.find_background,
+                                 cfg.positive_background,
+                                 axis_name=axis_name)
+        else:
+            cands = draw_params(sub, self.bound, count=k_cand,
+                                dtype=self.dtype)                   # (K, P)
+            i_cands = jax.vmap(
+                lambda p: self._intensity_row(grid, p))(cands)      # (K, Nq)
+            ft_base = state.ft - state.ibank[ri]
+            ft_tests = ft_base[None, :] + i_cands
+            sols = jax.vmap(
+                lambda x: solve_scale_bg(x, consts,
+                                         cfg.find_background,
+                                         cfg.positive_background,
+                                         axis_name=axis_name))(ft_tests)
+            best = jnp.argmin(sols.chisqr)
+            rt = cands[best]
+            i_new = i_cands[best]
+            ft_test = ft_tests[best]
+            sol = jax.tree_util.tree_map(lambda a: a[best], sols)
+        accept = active & (sol.chisqr < state.conval)
+
+        w_new, v_new, s_new = self._props_row(rt)
+        upd = partial(jax.lax.dynamic_update_index_in_dim, axis=0)
+        sel = lambda new, old: jnp.where(accept, new, old)  # noqa: E731
+        rset = upd(state.rset, sel(rt, state.rset[ri]), ri)
+        ibank = upd(state.ibank, sel(i_new, state.ibank[ri]), ri)
+        wset = upd(state.wset, sel(w_new, state.wset[ri]), ri)
+        vset = upd(state.vset, sel(v_new.astype(self.dtype),
+                                   state.vset[ri]), ri)
+        sset = upd(state.sset, sel(s_new.astype(self.dtype),
+                                   state.sset[ri]), ri)
+        return RepState(
+            key=key, rset=rset, ibank=ibank,
+            ft=sel(ft_test, state.ft),
+            wset=wset, vset=vset, sset=sset,
+            scale=sel(sol.scale, state.scale),
+            background=sel(sol.background, state.background),
+            conval=sel(sol.chisqr, state.conval),
+            ri=jnp.where(active, (ri + 1) % self.n_contribs, ri),
+            n_iter=state.n_iter + k_cand * active.astype(jnp.int32),
+            n_moves=state.n_moves + accept.astype(jnp.int32))
+
+    def _run_chunk(self, state: RepState, grid=None, consts=None,
+                   axis_name=None) -> RepState:
+        # refresh the total from the bank: bounds float32 drift per chunk
+        state = state._replace(ft=jnp.sum(state.ibank, axis=0))
+        def body(s, _):
+            return self._step(s, grid, consts, axis_name), None
+        state, _ = jax.lax.scan(body, state, None,
+                                length=self.cfg.chunk_steps)
+        return state
+
+    def _merge_reinit(self, state: RepState, fresh: RepState, mask):
+        """Replaces rows of the batched state where mask is True
+        (retry semantics: reference mcsas.py:217-246 re-runs mcFit)."""
+        def pick(new, old):
+            m = mask.reshape((-1,) + (1,) * (old.ndim - 1))
+            return jnp.where(m, new, old)
+        return jax.tree_util.tree_map(pick, fresh, state)
+
+    # --------------------------------------------------------------- run
+    def run(self, stop: Optional[Callable[[], bool]] = None,
+            progress: Optional[Callable[[dict], None]] = None
+            ) -> EngineResult:
+        cfg = self.cfg
+        n_reps = cfg.num_reps
+        keys = jax.random.split(jax.random.PRNGKey(cfg.seed), 2 * n_reps)
+        state = self._init_batch(keys[:n_reps])
+        if self.sharding is not None:
+            state = jax.device_put(state, self.sharding)
+        attempts = np.ones(n_reps, dtype=np.int64)
+        retry_key = keys[-1]
+        max_attempts = cfg.max_retries + 2   # reference retry budget
+        total_iters = 0
+        t0 = time.perf_counter()
+        aborted = False
+
+        while True:
+            state = self._chunk_batch(state)
+            conval = np.asarray(state.conval, dtype=np.float64)
+            n_iter = np.asarray(state.n_iter, dtype=np.int64)
+            converged = conval <= cfg.convergence_criterion
+            exhausted = n_iter >= cfg.max_iterations
+            running = ~converged & ~exhausted
+            if progress is not None:
+                progress(dict(conval=conval, n_iter=n_iter,
+                              converged=converged, attempts=attempts))
+            if stop is not None and stop():
+                log.warning("stop requested, exiting MC loop")
+                aborted = True
+                break
+            need_retry = ~converged & exhausted & (attempts < max_attempts)
+            if need_retry.any():
+                total_iters += int(n_iter[need_retry].sum())
+                retry_key, sub = jax.random.split(retry_key)
+                fresh = self._init_batch(
+                    jax.random.split(sub, n_reps))
+                state = self._reinit_merge(state, fresh,
+                                           jnp.asarray(need_retry))
+                attempts[need_retry] += 1
+                log.warning("%d repetition(s) did not converge within "
+                            "max_iterations; retrying (attempt %d/%d)",
+                            int(need_retry.sum()),
+                            int(attempts[need_retry].max()), max_attempts)
+                continue
+            if not running.any():
+                break
+
+        elapsed = time.perf_counter() - t0
+        state_np = jax.tree_util.tree_map(
+            lambda a: np.asarray(a, dtype=np.float64), state)
+        conval = state_np.conval
+        n_iter = state_np.n_iter.astype(np.int64)
+        converged = (conval <= cfg.convergence_criterion) & ~np.asarray(
+            [aborted] * n_reps)
+        total_iters += int(n_iter.sum())
+        n_moves = state_np.n_moves.astype(np.int64)
+        measval = (state_np.scale[:, None] * state_np.ft
+                   + state_np.background[:, None])
+        return EngineResult(
+            contribs=state_np.rset,
+            conval=conval,
+            n_iter=n_iter,
+            n_moves=n_moves,
+            attempts=attempts,
+            converged=converged,
+            scaling=state_np.scale / self.w_ref,
+            background=state_np.background,
+            measval=measval,
+            w_ref=self.w_ref,
+            elapsed=elapsed,
+            iters_per_sec=total_iters / max(elapsed, 1e-9),
+            moves_per_sec=int(n_moves.sum()) / max(elapsed, 1e-9),
+        )

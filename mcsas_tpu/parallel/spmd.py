@@ -1,0 +1,106 @@
+# -*- coding: utf-8 -*-
+"""SPMD ensemble execution: the MC engine over a ("rep", "q") device mesh.
+
+The repetition ensemble shards over "rep" (pure data parallelism, no
+communication); optionally the q grid shards over "q", in which case every
+χ² reduction inside the hot loop completes with a ``psum`` riding ICI.
+Because each accept/reject decision depends on psum-complete scalars, all
+q-shards of a repetition stay in lockstep by construction — the per-rep
+PRNG key is replicated across the "q" axis so every shard proposes the
+same candidate.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import McSASConfig
+from ..core.engine import McSASEngine, RepState
+from ..core.fitcore import FitConstants
+from ..data import SASData
+from ..models.base import BoundModel
+from .mesh import make_mesh, pad_reps_for_mesh
+
+
+def _state_specs() -> RepState:
+    return RepState(
+        key=P("rep"), rset=P("rep"), ibank=P("rep", None, "q"),
+        ft=P("rep", "q"), wset=P("rep"), vset=P("rep"), sset=P("rep"),
+        scale=P("rep"), background=P("rep"), conval=P("rep"),
+        ri=P("rep"), n_iter=P("rep"), n_moves=P("rep"))
+
+
+class ShardedEnsemble(McSASEngine):
+    """McSASEngine whose ensemble runs SPMD over a device mesh."""
+
+    def __init__(self, data: SASData, bound: BoundModel, cfg: McSASConfig,
+                 mesh=None, mesh_shape=None):
+        self.mesh = mesh if mesh is not None else make_mesh(mesh_shape)
+        self._orig_reps = cfg.num_reps
+        cfg = cfg.replace(num_reps=pad_reps_for_mesh(cfg.num_reps,
+                                                     self.mesh))
+        super().__init__(data, bound, cfg)
+        self.sharding = None  # parent device_put hook unused
+
+        n_q = self.mesh.shape["q"]
+        nq = int(self.grid.shape[0])
+        pad = (-nq) % n_q
+        if pad:
+            # zero-weight padding points: invisible to every reduction
+            # (u = 0), bank rows just carry extra lanes
+            grid_pad = jnp.repeat(self.grid[-1:], pad, axis=0)
+            self.grid = jnp.concatenate([self.grid, grid_pad], axis=0)
+            c = self.consts
+            zeros = jnp.zeros((pad,), c.y.dtype)
+            self.consts = FitConstants(
+                y=jnp.concatenate([c.y, zeros]),
+                u=jnp.concatenate([c.u, zeros]),
+                s_u=c.s_u, s_uy=c.s_uy, n=c.n)
+
+        mesh = self.mesh
+        specs = _state_specs()
+        grid_spec = P("q") if self.grid.ndim == 1 else P("q", None)
+        consts_spec = FitConstants(y=P("q"), u=P("q"), s_u=P(), s_uy=P(),
+                                   n=P())
+        # always psum over "q" (identity for a singleton axis): keeps the
+        # replication of accept decisions statically inferable by shard_map
+        axis = "q"
+
+        def init_local(keys, grid, consts):
+            return jax.vmap(
+                lambda k: self._init_rep(k, grid, consts, axis))(keys)
+
+        def chunk_local(state, grid, consts):
+            return jax.vmap(
+                lambda s: self._run_chunk(s, grid, consts, axis))(state)
+
+        sm_init = jax.shard_map(init_local, mesh=mesh,
+                                in_specs=(P("rep"), grid_spec, consts_spec),
+                                out_specs=specs)
+        sm_chunk = jax.shard_map(chunk_local, mesh=mesh,
+                                 in_specs=(specs, grid_spec, consts_spec),
+                                 out_specs=specs)
+        grid_sharded = jax.device_put(
+            self.grid, NamedSharding(mesh, grid_spec))
+        consts_sharded = jax.tree_util.tree_map(
+            lambda leaf, sp: jax.device_put(jnp.asarray(leaf),
+                                            NamedSharding(mesh, sp)),
+            self.consts, consts_spec)
+
+        self._init_batch = jax.jit(lambda keys: sm_init(
+            keys, grid_sharded, consts_sharded))
+        self._chunk_batch = jax.jit(lambda state: sm_chunk(
+            state, grid_sharded, consts_sharded))
+        self._reinit_merge = jax.jit(self._merge_reinit)
+
+    def run(self, **kw):
+        res = super().run(**kw)
+        r = self._orig_reps
+        for f in ("contribs", "conval", "n_iter", "n_moves", "attempts",
+                  "converged", "scaling", "background", "measval"):
+            setattr(res, f, getattr(res, f)[:r])
+        res.measval = res.measval[:, :self.data.count]  # drop q padding
+        return res

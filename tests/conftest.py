@@ -20,9 +20,16 @@ os.environ.setdefault("JAX_ENABLE_X64", "true")
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# The axon TPU plugin ignores JAX_PLATFORMS; pin the default device to the
+# CPU backend explicitly so tests never touch the (single, slow-to-attach)
+# real chip and the 8 virtual CPU devices are used for sharding tests.
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:  # no cpu backend — fall back to whatever exists
+    pass
 
 _REPO = pathlib.Path(__file__).resolve().parent.parent
-jax.config.update("jax_compilation_cache_dir", str(_REPO / ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", str(_REPO / ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import pytest  # noqa: E402

@@ -1,0 +1,84 @@
+# -*- coding: utf-8 -*-
+"""Multi-device ensemble execution on the 8 virtual CPU devices:
+rep-axis data parallelism and q-axis sharding with psum must reproduce the
+single-device vmap results."""
+import jax
+import numpy as np
+import pytest
+
+from mcsas_tpu import data
+from mcsas_tpu.config import McSASConfig
+from mcsas_tpu.core.engine import McSASEngine
+from mcsas_tpu.models import get_model
+from mcsas_tpu.parallel import ShardedEnsemble, make_mesh, pad_reps_for_mesh
+
+
+@pytest.fixture(scope="module")
+def cpus():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual cpu devices")
+    return devs
+
+
+@pytest.fixture(scope="module")
+def setup(refdata):
+    d = data.load(refdata / "sasfit_sphere-10-1.dat")
+    bound = get_model("Sphere").bind()
+    cfg = McSASConfig(num_contribs=30, num_reps=4, max_iterations=1000,
+                      chunk_steps=500, seed=5, max_retries=0,
+                      candidates_per_step=2)
+    return d, bound, cfg
+
+
+@pytest.fixture(scope="module")
+def baseline(setup):
+    d, bound, cfg = setup
+    return McSASEngine(d, bound, cfg).run()
+
+
+def test_dp_matches_vmap(setup, baseline, cpus):
+    d, bound, cfg = setup
+    se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((4, 1), cpus))
+    res = se.run()
+    np.testing.assert_array_equal(res.contribs, baseline.contribs)
+    np.testing.assert_array_equal(res.conval, baseline.conval)
+
+
+def test_q_sharded_matches_vmap(setup, baseline, cpus):
+    """q-axis sharding changes only the reduction association; results must
+    agree to float32 reduction tolerance."""
+    d, bound, cfg = setup
+    se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((4, 2), cpus))
+    res = se.run()
+    np.testing.assert_allclose(res.conval, baseline.conval, rtol=1e-3)
+    # contributions identical unless a borderline accept flipped
+    frac_equal = np.mean(np.isclose(res.contribs, baseline.contribs,
+                                    rtol=1e-5))
+    assert frac_equal > 0.95
+    assert res.measval.shape == baseline.measval.shape
+
+
+def test_rep_padding(setup, cpus):
+    d, bound, cfg = setup
+    cfg = cfg.replace(num_reps=3)        # not divisible by 4
+    mesh = make_mesh((4, 1), cpus)
+    assert pad_reps_for_mesh(3, mesh) == 4
+    res = ShardedEnsemble(d, bound, cfg, mesh=mesh).run()
+    assert res.contribs.shape[0] == 3    # padding discarded
+    assert res.conval.shape == (3,)
+
+
+def test_mesh_too_big_raises(cpus):
+    with pytest.raises(ValueError):
+        make_mesh((16, 1), cpus)
+
+
+def test_full_q_mesh(setup, baseline, cpus):
+    """1 rep-group × 8 q-shards — the extreme sequence-parallel layout."""
+    d, bound, cfg = setup
+    cfg = cfg.replace(num_reps=2, max_iterations=500)
+    se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((1, 8), cpus))
+    res = se.run()
+    assert np.all(np.isfinite(res.conval))
+    assert res.contribs.shape == (2, 30, 1)
