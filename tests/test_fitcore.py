@@ -52,9 +52,9 @@ def test_solve_matches_scipy(find_bg, pos_bg):
             # scipy's |b| reparameterization converges sloppily at the
             # b=0 boundary; the closed form is the exact constrained
             # optimum, so it must be at least as good and feasible.
+            # (observed: LM stalls at chi2 up to ~10 % above the optimum)
             assert float(sol.background) >= 0.0
             assert float(sol.chisqr) <= chi2_ref * (1.0 + 1e-6)
-            assert float(sol.chisqr) == pytest.approx(chi2_ref, rel=1e-2)
         else:
             assert float(sol.scale) == pytest.approx(sc_ref[0], rel=1e-6)
             assert float(sol.background) == pytest.approx(
