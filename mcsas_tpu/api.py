@@ -1,0 +1,343 @@
+# -*- coding: utf-8 -*-
+"""Headless user API: fit a dataset, inspect results, write output files.
+
+Replaces the reference's GUI-driven Calculator orchestration
+(src/mcsas/gui/calc.py:219-331) with a pure function::
+
+    result = fit(data, model="Sphere", cfg=McSASConfig(...))
+
+plus :func:`run_files` for the per-file pipeline including the reference's
+output-file set (settings .cfg, fit/distribution/statistics .dat files,
+contributions pickle, HDF5 state archive and optional plot; reference
+writers: gui/calc.py:381-462, output set documented in
+doc/source/quickstart.rst:164-177).
+"""
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import datetime as _dt
+import json
+import logging
+import os
+import pickle
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence, Union
+
+import numpy as np
+
+from . import data as data_mod
+from .config import McSASConfig
+from .core.engine import EngineResult, McSASEngine
+from .data import SASData
+from .models import get_model
+from .models.base import BoundModel, SASModel
+from .post.histogram import (FractionsResult, HistogramResult,
+                             HistogramSpec, default_histograms,
+                             histogram_all)
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class McSASResult:
+    """Complete result of one MC fit (reference result-dict fields:
+    mcsas.py:264-285 docstring at :54-132)."""
+    data: SASData
+    bound: BoundModel
+    cfg: McSASConfig
+    engine: EngineResult
+    fractions: FractionsResult
+    histograms: list            # list[HistogramResult]
+
+    # --- common-result accessors (reference naming) ---------------------
+    @property
+    def contribs(self) -> np.ndarray:
+        """(numContribs, numParams, numReps) — reference layout."""
+        return np.transpose(self.engine.contribs, (1, 2, 0))
+
+    @property
+    def fit_x0(self) -> np.ndarray:
+        return self.data.q
+
+    @property
+    def fit_measval_mean(self) -> np.ndarray:
+        return self.engine.measval.mean(axis=0)
+
+    @property
+    def fit_measval_std(self) -> np.ndarray:
+        return self.engine.measval.std(axis=0)
+
+    @property
+    def scaling(self):
+        s = self.engine.scaling
+        return (s.mean(), s.std(ddof=1 if len(s) > 1 else 0))
+
+    @property
+    def background(self):
+        b = self.engine.background
+        return (b.mean(), b.std(ddof=1 if len(b) > 1 else 0))
+
+    @property
+    def times(self):
+        return self.engine.elapsed
+
+    @property
+    def num_iter(self):
+        return self.engine.n_iter.mean()
+
+    @property
+    def converged(self) -> bool:
+        return bool(self.engine.converged.all())
+
+    def histogram(self, specs: Sequence[HistogramSpec]):
+        """Re-histograms the stored contributions without re-fitting
+        (reference re-analysis path: mcsas.py:445,513-514)."""
+        fractions, hists = histogram_all(self.engine.contribs, self.data,
+                                         self.bound, self.cfg, specs)
+        return McSASResult(data=self.data, bound=self.bound, cfg=self.cfg,
+                           engine=self.engine, fractions=fractions,
+                           histograms=hists)
+
+
+def _resolve_model(model) -> BoundModel:
+    if isinstance(model, BoundModel):
+        return model
+    if isinstance(model, SASModel):
+        return model.bind()
+    if isinstance(model, str):
+        return get_model(model).bind()
+    if model is None:
+        log.info("No model provided, defaulting to Sphere "
+                 "(reference fallback: mcsas.py:156-165)")
+        return get_model("Sphere").bind()
+    raise TypeError(f"cannot interpret {model!r} as a model")
+
+
+def fit(data: Union[SASData, str, os.PathLike],
+        model=None,
+        cfg: Optional[McSASConfig] = None,
+        histograms: Optional[Sequence[HistogramSpec]] = None,
+        stop: Optional[Callable[[], bool]] = None,
+        progress: Optional[Callable[[dict], None]] = None,
+        engine_cls=McSASEngine,
+        mesh=None) -> McSASResult:
+    """Runs the full MC analysis on one dataset.
+
+    - *data*: a SASData or a path to a data file
+    - *model*: model name, SASModel, or BoundModel (default Sphere)
+    - *cfg*: algorithm settings (defaults mirror the reference JSON)
+    - *histograms*: histogram specs (default: one per active parameter)
+    - *stop*: callable polled between chunks for cooperative abort
+      (reference stop flag: mcsas.py:240-245,357)
+    """
+    if not isinstance(data, SASData):
+        data = data_mod.load(data)
+    bound = _resolve_model(model)
+    cfg = cfg or McSASConfig()
+    if mesh is not None:
+        from .parallel import ShardedEnsemble
+        engine = ShardedEnsemble(data, bound, cfg, mesh=mesh)
+    else:
+        engine = engine_cls(data, bound, cfg)
+    eng_result = engine.run(stop=stop, progress=progress)
+    if not eng_result.converged.all() and not cfg.show_incomplete:
+        log.warning(
+            "%d of %d repetitions did not reach the convergence criterion",
+            int((~eng_result.converged).sum()), cfg.num_reps)
+    fractions, hists = histogram_all(eng_result.contribs, data, bound, cfg,
+                                     histograms)
+    return McSASResult(data=data, bound=bound, cfg=cfg, engine=eng_result,
+                       fractions=fractions, histograms=hists)
+
+
+# ------------------------------------------------------------------ output
+
+def _timestamp() -> str:
+    return _dt.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+
+
+class OutputFiles:
+    """Result-file naming and writing (reference OutputFilename +
+    Calculator writers: gui/calc.py:58-155, 381-462)."""
+
+    def __init__(self, result: McSASResult, out_dir=None, basename=None,
+                 create_dir: bool = True):
+        self.result = result
+        title = result.data.title or "mcsas"
+        self.basename = basename or f"{title} {_timestamp()}"
+        base = out_dir
+        if base is None:
+            base = (os.path.dirname(result.data.filename)
+                    if result.data.filename else ".")
+        target = os.path.join(str(base), self.basename)
+        if create_dir:
+            os.makedirs(target, exist_ok=True)
+            self.out_dir = target
+        else:
+            self.out_dir = str(base)
+
+    def path(self, kind: str, extension: str = ".dat") -> str:
+        return os.path.join(self.out_dir,
+                            f"{self.basename}_{kind}{extension}")
+
+    # --- individual writers --------------------------------------------
+    def write_fit(self) -> str:
+        """q, data, σ, fit mean, fit std (reference _writeFit)."""
+        from .io.ascii import write_ascii
+        r = self.result
+        fn = self.path("fit")
+        cols = np.column_stack([
+            r.fit_x0, r.data.f, r.data.fu,
+            r.fit_measval_mean, r.fit_measval_std])
+        write_ascii(fn, cols, header=("fitX0", "dataMean", "dataStd",
+                                      "fitMeasValMean", "fitMeasValStd"))
+        return fn
+
+    def write_distributions(self) -> list:
+        """One file per histogram: xMean xWidth yMean yStd Obs cdfMean
+        cdfStd (reference _writeDistrib)."""
+        from .io.ascii import write_ascii
+        out = []
+        for h in self.result.histograms:
+            tag = (f"hist-{h.spec.param}-{h.spec.lower:g}-{h.spec.upper:g}"
+                   f"-{h.spec.bin_count}-{h.spec.xscale}-{h.spec.yweight}")
+            fn = self.path(tag)
+            cols = np.column_stack([
+                h.x_mean, h.x_width, h.bins.mean, h.bins.std,
+                h.observability, h.cdf.mean, h.cdf.std])
+            write_ascii(fn, cols, header=("xMean", "xWidth", "yMean",
+                                          "yStd", "Obs", "cdfMean",
+                                          "cdfStd"))
+            out.append(fn)
+        return out
+
+    def write_statistics(self) -> list:
+        """Per-parameter moments table (reference _writeStatistics)."""
+        from .io.ascii import format_value
+        out = []
+        by_param = {}
+        for h in self.result.histograms:
+            by_param.setdefault(h.spec.param, []).append(h)
+        from .post.histogram import Moments
+        header = ("lower", "upper", "weighting") + Moments.FIELD_NAMES
+        for param, hists in by_param.items():
+            fn = self.path(f"stats_{param}")
+            lines = [" ".join(header)]
+            for h in hists:
+                vals = ([format_value(h.spec.lower),
+                         format_value(h.spec.upper), h.spec.yweight]
+                        + [format_value(v) for v in h.moments.fields])
+                lines.append(" ".join(str(v) for v in vals))
+            with open(fn, "w", encoding="utf-8") as fd:
+                fd.write("\n".join(lines) + "\n")
+            out.append(fn)
+        return out
+
+    def write_contribs(self) -> str:
+        """Pickled contributions in the reference (N, P, R) layout —
+        reusable for re-histogramming without re-optimization
+        (reference _writeContribs: gui/calc.py:419-426)."""
+        fn = self.path("contributions", ".pickle")
+        with open(fn, "wb") as fd:
+            pickle.dump(self.result.contribs, fd)
+        return fn
+
+    def write_settings(self) -> str:
+        """ini-style settings dump (reference _writeSettings)."""
+        r = self.result
+        config = configparser.RawConfigParser()
+        config.add_section("I/O Settings")
+        config.set("I/O Settings", "fileName", str(r.data.filename))
+        config.set("I/O Settings", "outputBaseName", self.basename)
+        config.add_section("MCSAS Settings")
+        for key, value in r.cfg.to_dict().items():
+            config.set("MCSAS Settings", key, value)
+        config.set("MCSAS Settings", "model", r.bound.model.name)
+        config.set("MCSAS Settings", "X0 limits", str(list(r.data.q_limit)))
+        config.add_section("Model Settings")
+        for name in r.bound.active:
+            lo, hi = r.bound.ranges[r.bound.active.index(name)]
+            config.set("Model Settings", f"{name}_min", lo)
+            config.set("Model Settings", f"{name}_max", hi)
+        for name, value in r.bound.fixed:
+            config.set("Model Settings", name, value)
+        fn = self.path("settings", ".cfg")
+        with open(fn, "w", encoding="utf-8") as fd:
+            config.write(fd)
+        return fn
+
+    def write_archive(self) -> Optional[str]:
+        """HDF5 state archive (reference hdfStore: gui/calc.py:302-309)."""
+        from .io.hdf import write_archive
+        fn = self.path("hdf5archive", ".hdf5")
+        return write_archive(fn, self.result)
+
+    def write_all(self, plot: bool = False) -> dict:
+        written = dict(
+            settings=self.write_settings(),
+            fit=self.write_fit(),
+            distributions=self.write_distributions(),
+            statistics=self.write_statistics(),
+            contributions=self.write_contribs(),
+        )
+        try:
+            written["archive"] = self.write_archive()
+        except ImportError:
+            log.warning("h5py unavailable; skipping HDF5 archive")
+        if plot:
+            from .plotting import plot_results
+            fn = self.path("plot", ".pdf")
+            plot_results(self.result, output_filename=fn,
+                         auto_close=True)
+            written["plot"] = fn
+        return written
+
+
+def run_files(filenames: Sequence, model=None, cfg: Optional[McSASConfig]
+              = None, histograms=None, out_dir=None, plot: bool = False,
+              data_config=None) -> list:
+    """Batch driver over many data files: fits each and writes the full
+    output-file set; accumulates series statistics when cfg.series_stats
+    (reference Calculator.__call__ per-file pipeline + series handling:
+    gui/calc.py:276-379)."""
+    cfg = cfg or McSASConfig()
+    results = []
+    series = {}
+    for fn in filenames:
+        d = data_mod.load(fn, config=data_config)
+        res = fit(d, model=model, cfg=cfg, histograms=histograms)
+        out = OutputFiles(res, out_dir=out_dir)
+        res.output_files = out.write_all(plot=plot)
+        results.append(res)
+        if cfg.series_stats:
+            for h in res.histograms:
+                key = (h.spec.param, h.spec.lower, h.spec.upper,
+                       h.spec.yweight)
+                series.setdefault(key, []).append(
+                    (d.title, h.moments.fields))
+    if cfg.series_stats and series:
+        write_series_stats(series, out_dir or ".")
+    return results
+
+
+def write_series_stats(series: dict, out_dir) -> str:
+    """Cross-file moments table (reference processSeries/postProcess:
+    gui/calc.py:161-217, 333-379)."""
+    from .post.histogram import Moments
+    fn = os.path.join(str(out_dir),
+                      f"series statistics {_timestamp()}.dat")
+    lines = []
+    header = ("param", "lower", "upper", "weighting", "sample") + \
+        Moments.FIELD_NAMES
+    lines.append(" ".join(header))
+    for (param, lo, hi, weight), entries in series.items():
+        for title, fields in entries:
+            row = [param, f"{lo:g}", f"{hi:g}", weight,
+                   str(title).replace(" ", "_")]
+            row += [f"{v: 14.6E}" for v in fields]
+            lines.append(" ".join(row))
+    with open(fn, "w", encoding="utf-8") as fd:
+        fd.write("\n".join(lines) + "\n")
+    return fn

@@ -1,0 +1,126 @@
+# -*- coding: utf-8 -*-
+"""Command-line entry point: the working headless replacement for the
+reference's GUI-default main (src/mcsas/main.py:52-100, whose text mode is
+marked broken at main.py:93).
+
+    python -m mcsas_tpu data.csv [-m Sphere] [-o outdir] [--plot] ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+from .config import McSASConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mcsas_tpu",
+        description="TPU-native Monte Carlo size-distribution retrieval "
+                    "for small-angle scattering data")
+    p.add_argument("filenames", nargs="+", help="data files to fit")
+    p.add_argument("-m", "--model", default="Sphere",
+                   help="model name (see --list-models)")
+    p.add_argument("-o", "--outdir", default=None,
+                   help="output directory (default: beside each data file)")
+    p.add_argument("-c", "--config", default=None,
+                   help="JSON algorithm-config file (reference "
+                        "mcsasparameters.json-style or flat)")
+    p.add_argument("--contribs", type=int, default=None,
+                   help="number of contributions (default 300)")
+    p.add_argument("--reps", type=int, default=None,
+                   help="number of repetitions (default 10)")
+    p.add_argument("--max-iter", type=float, default=None,
+                   help="max iterations per repetition (default 1e5)")
+    p.add_argument("--candidates", type=int, default=None,
+                   help="speculative proposals per MC step")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--active", default=None,
+                   help="comma-separated active parameter names")
+    p.add_argument("--range", action="append", default=[],
+                   metavar="PARAM=LO:HI",
+                   help="active range override in display units, "
+                        "repeatable")
+    p.add_argument("--plot", action="store_true",
+                   help="write a result plot PDF")
+    p.add_argument("--series-stats", action="store_true",
+                   help="accumulate series statistics across files")
+    p.add_argument("--list-models", action="store_true",
+                   help="list available models and exit")
+    p.add_argument("-l", "--nolog", action="store_true",
+                   help="suppress console logging")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    level = (logging.WARNING if args.nolog
+             else logging.DEBUG if args.verbose else logging.INFO)
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S")
+
+    from .models import REGISTRY, get_model
+    if args.list_models:
+        for name, m in REGISTRY.items():
+            active = ",".join(m.default_active)
+            print(f"{name:36s} active=[{active}]  {m.doc}")
+        return 0
+
+    cfg = McSASConfig()
+    if args.config:
+        with open(args.config, "r", encoding="utf-8") as fd:
+            raw = json.load(fd)
+        if raw and all(isinstance(v, dict) and "default" in v
+                       for v in raw.values()):
+            cfg = McSASConfig.from_reference_json(args.config)
+        else:
+            cfg = McSASConfig.from_dict(raw)
+    overrides = {}
+    if args.contribs is not None:
+        overrides["num_contribs"] = args.contribs
+    if args.reps is not None:
+        overrides["num_reps"] = args.reps
+    if args.max_iter is not None:
+        overrides["max_iterations"] = int(args.max_iter)
+    if args.candidates is not None:
+        overrides["candidates_per_step"] = args.candidates
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if args.series_stats:
+        overrides["series_stats"] = True
+    if overrides:
+        cfg = cfg.replace(**overrides)
+
+    model = get_model(args.model)
+    active = (tuple(a.strip() for a in args.active.split(","))
+              if args.active else None)
+    ranges = {}
+    for spec in args.range:
+        try:
+            name, lohi = spec.split("=", 1)
+            lo, hi = lohi.split(":")
+            unit = model.spec(name).unit
+            ranges[name] = (unit.to_si(float(lo)), unit.to_si(float(hi)))
+        except (ValueError, KeyError) as e:
+            print(f"error: bad --range {spec!r}: {e}", file=sys.stderr)
+            return 2
+    bound = model.bind(active=active, active_ranges=ranges or None)
+
+    from .api import run_files
+    results = run_files(args.filenames, model=bound, cfg=cfg,
+                        out_dir=args.outdir, plot=args.plot)
+    failures = sum(0 if r.converged else 1 for r in results)
+    for r in results:
+        status = "converged" if r.converged else "NOT CONVERGED"
+        print(f"{r.data.title}: chi2={r.engine.conval.round(3).tolist()} "
+              f"[{status}], {r.engine.iters_per_sec:,.0f} proposals/s")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -1,0 +1,333 @@
+# -*- coding: utf-8 -*-
+"""Post-fit analysis: fractions, observability limits, histograms, moments.
+
+Reference semantics: McSAS.histogram (src/mcsas/mcsas/mcsas.py:445-615) and
+the Histogram/Moments machinery (src/mcsas/utils/parameter.py:20-154,
+187-568).  Differences in *how*:
+
+* the reference loops Python-per-contribution to get partial intensities
+  (mcsas.py:575-594, O(numContribs·numReps) model calls); here one batched
+  kernel evaluation per repetition yields the whole (N, Nq) partial
+  intensity bank, and observability is a vectorized masked min;
+* everything runs float64 on the host CPU backend (cheap: a handful of
+  batched evaluations), independent of the float32 device fit — which also
+  makes re-histogramming stored contributions exact, matching the
+  reference's ``histogram(contribs=…)`` re-analysis entry point.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import McSASConfig
+from ..core.fitcore import make_constants, solve_scale_bg
+from ..data import SASData
+from ..models.base import BoundModel
+
+WEIGHTINGS = ("vol", "num", "int", "surf")
+XSCALES = ("lin", "log")
+
+
+def _cpu_device():
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return jax.devices()[0]
+
+
+# ------------------------------------------------------------------ specs
+
+@dataclass(frozen=True)
+class HistogramSpec:
+    """User-configurable histogram over one active parameter
+    (reference: utils/parameter.py:187-343)."""
+    param: str
+    lower: float = None          # SI; None → parameter's active range
+    upper: float = None
+    bin_count: int = 50
+    xscale: str = "lin"          # 'lin' | 'log'
+    yweight: str = "vol"         # 'vol' | 'num' | 'int' | 'surf'
+    auto_follow: bool = True
+
+    def __post_init__(self):
+        if self.xscale not in XSCALES:
+            raise ValueError(f"xscale must be one of {XSCALES}")
+        if self.yweight not in WEIGHTINGS:
+            raise ValueError(f"yweight must be one of {WEIGHTINGS}")
+        if self.bin_count < 1:
+            raise ValueError("bin_count must be >= 1")
+
+    def resolved(self, bound: BoundModel) -> "HistogramSpec":
+        if self.param not in bound.active:
+            raise KeyError(f"{self.param!r} is not an active parameter")
+        lo, hi = bound.ranges[bound.active.index(self.param)]
+        lower = lo if (self.lower is None or self.auto_follow) else self.lower
+        upper = hi if (self.upper is None or self.auto_follow) else self.upper
+        return dataclasses.replace(self, lower=float(lower),
+                                   upper=float(upper), auto_follow=False)
+
+
+def default_histograms(bound: BoundModel) -> Tuple[HistogramSpec, ...]:
+    """One vol-weighted linear 50-bin histogram per active parameter."""
+    return tuple(HistogramSpec(param=name).resolved(bound)
+                 for name in bound.active)
+
+
+# ---------------------------------------------------------------- results
+
+@dataclass
+class VectorOverReps:
+    """Per-repetition vectors plus their mean/sample-std
+    (reference VectorResult: utils/parameter.py:156-184)."""
+    full: np.ndarray             # (B, R)
+
+    @property
+    def mean(self):
+        return self.full.mean(axis=1)
+
+    @property
+    def std(self):
+        ddof = 1 if self.full.shape[1] > 1 else 0
+        return self.full.std(axis=1, ddof=ddof)
+
+
+@dataclass
+class Moments:
+    """Distribution moments within a range, averaged over repetitions
+    (reference: utils/parameter.py:20-122)."""
+    total: Tuple[float, float]
+    mean: Tuple[float, float]
+    variance: Tuple[float, float]
+    skew: Tuple[float, float]
+    kurtosis: Tuple[float, float]
+
+    FIELD_NAMES = ("totalValue", "totalValueStd", "mean", "meanStd",
+                   "variance", "varianceStd", "skew", "skewStd",
+                   "kurtosis", "kurtosisStd")
+
+    @property
+    def fields(self) -> tuple:
+        return (self.total + self.mean + self.variance + self.skew
+                + self.kurtosis)
+
+
+@dataclass
+class HistogramResult:
+    spec: HistogramSpec
+    x_lower_edge: np.ndarray     # (B+1,)
+    x_mean: np.ndarray           # (B,)
+    x_width: np.ndarray          # (B,)
+    bins: VectorOverReps         # (B, R)
+    cdf: VectorOverReps          # (B, R)
+    observability: np.ndarray    # (B,)
+    moments: Moments
+
+
+@dataclass
+class FractionsResult:
+    """Per-contribution fractions and observability limits for each
+    weighting (reference arrays: mcsas.py:521-609)."""
+    fraction: Dict[str, np.ndarray]      # each (N, R)
+    min_req: Dict[str, np.ndarray]       # each (N, R)
+    total: Dict[str, np.ndarray]         # each (R,)
+    scaling: np.ndarray                  # (2, R) [A; b] SI
+    volumes: np.ndarray                  # (N, R) absolute volumes
+    surfaces: np.ndarray                 # (N, R)
+
+
+# ------------------------------------------------------------ computation
+
+def _bank_f64(bound: BoundModel, data: SASData, cfg: McSASConfig,
+              rset: np.ndarray):
+    """(N, Nq) SI intensity bank + per-contribution properties, float64."""
+    comp_exp = cfg.compensation_exponent
+    smearing = data.uses_smearing and bound.model.can_smear
+    grid = data.locs if smearing else data.q
+
+    def row(pvec):
+        ffv = bound.ff(jnp.asarray(grid), pvec)
+        w = bound.volume(pvec) ** (2.0 * comp_exp)
+        if smearing:
+            return (ffv * ffv) @ jnp.asarray(data.smear_w) * w
+        return ffv * ffv * w
+
+    def props(pvec):
+        return (bound.absvolume(pvec), bound.surf(pvec))
+
+    with jax.default_device(_cpu_device()):
+        bank = np.asarray(jax.jit(jax.vmap(row))(
+            jnp.asarray(rset, jnp.float64)))
+        vset, sset = jax.jit(jax.vmap(props))(jnp.asarray(rset, jnp.float64))
+    return bank, np.asarray(vset, np.float64), np.asarray(sset, np.float64)
+
+
+def compute_fractions(contribs: np.ndarray, data: SASData,
+                      bound: BoundModel, cfg: McSASConfig
+                      ) -> FractionsResult:
+    """Volume/number/intensity/surface fractions, totals, observability
+    limits and per-rep scaling — reference mcsas.py:549-609."""
+    n_reps, n, _ = contribs.shape
+    frac = {w: np.zeros((n, n_reps)) for w in WEIGHTINGS}
+    minr = {w: np.zeros((n, n_reps)) for w in WEIGHTINGS}
+    total = {w: np.zeros(n_reps) for w in WEIGHTINGS}
+    scaling = np.zeros((2, n_reps))
+    volumes = np.zeros((n, n_reps))
+    surfaces = np.zeros((n, n_reps))
+    sigma = np.asarray(data.fu, np.float64)
+    consts = make_constants(data.f, data.fu, jnp.float64)
+
+    for ri in range(n_reps):
+        rset = contribs[ri]
+        bank, vset, sset = _bank_f64(bound, data, cfg, rset)
+        wset = np.array([bound.volume(r.astype(np.float64))
+                         for r in rset]) ** (2 * cfg.compensation_exponent)
+        ft = bank.sum(axis=0)
+        sol = solve_scale_bg(jnp.asarray(ft), consts, cfg.find_background,
+                             cfg.positive_background)
+        a, b = float(sol.scale), float(sol.background)
+        scaling[:, ri] = (a, b)
+        volumes[:, ri] = vset
+        surfaces[:, ri] = sset
+
+        # fractions (mcsas.py:565-572); weights revert the intensity
+        # normalization through the scaling, volumes stay absolute
+        vf = wset * a / vset
+        nf = vf / vset
+        isf = vf * vset
+        sf = nf * sset
+        frac["vol"][:, ri] = vf
+        frac["num"][:, ri] = nf
+        frac["int"][:, ri] = isf
+        frac["surf"][:, ri] = sf
+        total["vol"][ri] = vf.sum()
+        total["num"][ri] = nf.sum()
+        total["int"][ri] = isf.sum()
+        total["surf"][ri] = sf.sum()
+
+        # observability: min over q of σ·vf_c / (A·I_partial_c)
+        # (vectorized form of mcsas.py:574-594)
+        denom = a * bank
+        ratio = np.where(denom != 0.0,
+                         sigma[None, :] * vf[:, None]
+                         / np.where(denom != 0.0, denom, 1.0),
+                         np.inf)
+        mrv = ratio.min(axis=1)
+        minr["vol"][:, ri] = mrv
+        minr["num"][:, ri] = mrv / vset
+        minr["int"][:, ri] = (mrv / vset) * mrv * mrv
+        minr["surf"][:, ri] = (mrv / vset) * sset
+
+        # number/int/surface normalized to totals (mcsas.py:596-604)
+        for w in ("num", "int", "surf"):
+            if total[w][ri] != 0.0:
+                frac[w][:, ri] /= total[w][ri]
+                minr[w][:, ri] /= total[w][ri]
+
+    return FractionsResult(fraction=frac, min_req=minr, total=total,
+                           scaling=scaling, volumes=volumes,
+                           surfaces=surfaces)
+
+
+def _edges(spec: HistogramSpec) -> np.ndarray:
+    if spec.xscale == "lin":
+        return np.linspace(spec.lower, spec.upper, spec.bin_count + 1)
+    return np.logspace(math.log10(spec.lower), math.log10(spec.upper),
+                       spec.bin_count + 1)
+
+
+def _moments(values: np.ndarray, fraction: np.ndarray,
+             lower: float, upper: float) -> Moments:
+    """Weighted moments per rep, then mean±std over reps
+    (reference: utils/parameter.py:80-122)."""
+    n, n_reps = values.shape
+    out = np.zeros((5, n_reps))
+    for ri in range(n_reps):
+        v, f = values[:, ri], fraction[:, ri]
+        m = (v > lower) & (v < upper)
+        if not m.any():
+            continue
+        v, f = v[m], f[m]
+        tot = f.sum()
+        out[0, ri] = tot
+        mu = (v * f).sum() / tot if tot != 0 else (v * f).sum()
+        out[1, ri] = mu
+        var = ((v - mu) ** 2 * f).sum() / tot if tot != 0 else 0.0
+        out[2, ri] = var
+        sig = math.sqrt(abs(var))
+        if tot * sig == 0.0:
+            continue
+        out[3, ri] = ((v - mu) ** 3 * f).sum() / (tot * sig ** 3)
+        out[4, ri] = ((v - mu) ** 4 * f).sum() / (tot * sig ** 4)
+    ddof = 1 if n_reps > 1 else 0
+    pairs = [(out[i].mean(), out[i].std(ddof=ddof)) for i in range(5)]
+    return Moments(total=pairs[0], mean=pairs[1], variance=pairs[2],
+                   skew=pairs[3], kurtosis=pairs[4])
+
+
+def compute_histogram(spec: HistogramSpec, contribs: np.ndarray,
+                      bound: BoundModel,
+                      fractions: FractionsResult) -> HistogramResult:
+    """Bins one parameter's contribution values under one weighting
+    (reference: utils/parameter.py:420-479)."""
+    pi = bound.active.index(spec.param)
+    values = contribs[:, :, pi].T          # (N, R)
+    frac = fractions.fraction[spec.yweight]
+    minreq = fractions.min_req[spec.yweight]
+    n, n_reps = values.shape
+    b = spec.bin_count
+    edges = _edges(spec)
+
+    bins = np.zeros((b, n_reps))
+    obs = np.zeros((b, n_reps))
+    cdf = np.zeros((b, n_reps))
+    for ri in range(n_reps):
+        idx_in_bin = [
+            (values[:, ri] >= edges[i]) & (values[:, ri] < edges[i + 1])
+            for i in range(b)]
+        for i, m in enumerate(idx_in_bin):
+            val = frac[m, ri].sum()
+            bins[i, ri] = 0.0 if np.isnan(val) else val
+            obs[i, ri] = minreq[m, ri].mean() if m.any() else 0.0
+        c = np.cumsum(bins[:, ri])
+        cdf[:, ri] = c / c[-1] if c[-1] != 0.0 else 0.0
+
+    # observability: per-bin max over reps, ignoring infs
+    # (reference: utils/parameter.py:398-409)
+    observability = np.zeros(b)
+    for i in range(b):
+        finite = obs[i][obs[i] < np.inf]
+        if finite.size:
+            observability[i] = finite.max()
+
+    return HistogramResult(
+        spec=spec,
+        x_lower_edge=edges,
+        x_mean=0.5 * (edges[:-1] + edges[1:]),
+        x_width=np.diff(edges),
+        bins=VectorOverReps(bins),
+        cdf=VectorOverReps(cdf),
+        observability=observability,
+        moments=_moments(values, frac, spec.lower, spec.upper),
+    )
+
+
+def histogram_all(contribs: np.ndarray, data: SASData, bound: BoundModel,
+                  cfg: McSASConfig,
+                  specs: Optional[Sequence[HistogramSpec]] = None):
+    """Full post-fit pipeline: fractions once, then every histogram.
+
+    *contribs* has shape (R, N, P) — e.g. ``EngineResult.contribs`` or a
+    stored contributions array for re-analysis.
+    """
+    specs = (default_histograms(bound) if specs is None
+             else tuple(s.resolved(bound) for s in specs))
+    fractions = compute_fractions(contribs, data, bound, cfg)
+    results = [compute_histogram(s, contribs, bound, fractions)
+               for s in specs]
+    return fractions, results

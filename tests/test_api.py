@@ -1,0 +1,178 @@
+# -*- coding: utf-8 -*-
+"""End-to-end API: fit(), result accessors, output writers, archive
+round-trip, re-histogramming, CLI."""
+import configparser
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import mcsas_tpu as mt
+from mcsas_tpu.config import McSASConfig
+
+
+@pytest.fixture(scope="module")
+def result(refdata):
+    cfg = McSASConfig(num_contribs=30, num_reps=2, max_iterations=3000,
+                      chunk_steps=1000, seed=42, max_retries=0,
+                      candidates_per_step=4, show_incomplete=True)
+    return mt.fit(refdata / "sasfit_sphere-10-1.dat", model="Sphere",
+                  cfg=cfg)
+
+
+def test_fit_runs_and_shapes(result):
+    assert result.contribs.shape == (30, 1, 2)       # reference layout
+    assert result.fit_measval_mean.shape == (result.data.count,)
+    assert len(result.histograms) == 1
+    assert result.engine.iters_per_sec > 0
+
+
+def test_scaling_tuple(result):
+    mean, std = result.scaling
+    assert mean > 0
+    assert std >= 0
+
+
+def test_rehistogram_without_refit(result):
+    spec = mt.HistogramSpec("radius", 1e-9, 1e-7, bin_count=25,
+                            xscale="log", yweight="num")
+    r2 = result.histogram([spec])
+    assert len(r2.histograms) == 1
+    h = r2.histograms[0]
+    assert h.bins.full.shape == (25, 2)
+    # engine result unchanged (no refit)
+    assert r2.engine is result.engine
+
+
+def test_output_files(result, tmp_path):
+    out = mt.OutputFiles(result, out_dir=tmp_path)
+    written = out.write_all(plot=True)
+    for key in ("settings", "fit", "contributions"):
+        pth = written[key]
+        assert os.path.exists(pth)
+    assert all(os.path.exists(p) for p in written["distributions"])
+    assert all(os.path.exists(p) for p in written["statistics"])
+    assert os.path.exists(written["plot"])
+
+    # fit file columns (written in SI units like the reference writer)
+    from mcsas_tpu.io import load_raw
+    raw, _ = load_raw(written["fit"])
+    assert raw.shape[1] == 5
+    np.testing.assert_allclose(raw[:, 0], result.fit_x0, rtol=1e-5)
+
+    # contributions pickle round-trips the reference layout
+    with open(written["contributions"], "rb") as fd:
+        contribs = pickle.load(fd)
+    np.testing.assert_array_equal(contribs, result.contribs)
+
+    # settings readable by configparser with reference-style keys
+    cp = configparser.RawConfigParser()
+    cp.read(written["settings"])
+    assert cp.get("MCSAS Settings", "numContribs") == "30"
+    assert cp.get("MCSAS Settings", "model") == "Sphere"
+
+
+def test_archive_roundtrip(result, tmp_path):
+    pytest.importorskip("h5py")
+    from mcsas_tpu.io.hdf import load_archive
+    out = mt.OutputFiles(result, out_dir=tmp_path)
+    fn = out.write_archive()
+    state = load_archive(fn)
+    np.testing.assert_array_equal(state["contribs"], result.contribs)
+    assert state["model"] == "Sphere"
+    assert state["cfg"].num_contribs == 30
+    assert state["data"].count == result.data.count
+    # restored state supports re-histogramming
+    from mcsas_tpu.post.histogram import histogram_all
+    contribs_rfirst = np.transpose(state["contribs"], (2, 0, 1))
+    bound = mt.get_model(state["model"]).bind(
+        active=state["active"],
+        active_ranges=dict(zip(state["active"], state["ranges"])))
+    fr, hists = histogram_all(contribs_rfirst, state["data"], bound,
+                              state["cfg"])
+    np.testing.assert_allclose(hists[0].bins.full,
+                               result.histograms[0].bins.full, rtol=1e-8)
+
+
+def test_fit_accepts_path_and_default_model(refdata):
+    cfg = McSASConfig(num_contribs=5, num_reps=1, max_iterations=100,
+                      chunk_steps=100, seed=0, max_retries=0,
+                      show_incomplete=True)
+    res = mt.fit(refdata / "sasfit_sphere-10-1.dat", cfg=cfg)
+    assert res.bound.model.name == "Sphere"
+
+
+def test_cli_list_models(capsys):
+    from mcsas_tpu.cli import main
+    assert main(["--list-models", "dummy"]) == 0
+    out = capsys.readouterr().out
+    assert "Sphere" in out and "Kholodenko" in out
+
+
+def test_cli_full_run(refdata, tmp_path, capsys):
+    from mcsas_tpu.cli import main
+    rc = main([str(refdata / "sasfit_sphere-10-1.dat"),
+               "-m", "Sphere", "-o", str(tmp_path),
+               "--contribs", "10", "--reps", "1", "--max-iter", "300",
+               "--candidates", "2", "--seed", "3", "--nolog"])
+    out = capsys.readouterr().out
+    assert "sasfit_sphere-10-1" in out
+    assert rc == 1                      # cannot converge in 300 iters
+    subdirs = list(tmp_path.iterdir())
+    assert len(subdirs) == 1
+    files = {f.name.split("_")[-1] for f in subdirs[0].iterdir()}
+    assert "fit.dat" in files and "settings.cfg" in files
+
+
+def test_cli_bad_range(refdata, capsys):
+    from mcsas_tpu.cli import main
+    rc = main([str(refdata / "sasfit_sphere-10-1.dat"),
+               "--range", "radius=banana"])
+    assert rc == 2
+
+
+def test_cli_range_override(refdata, tmp_path):
+    from mcsas_tpu.cli import main
+    rc = main([str(refdata / "sasfit_sphere-10-1.dat"),
+               "-o", str(tmp_path), "--contribs", "8", "--reps", "1",
+               "--max-iter", "200", "--nolog", "--seed", "1",
+               "--range", "radius=5:50"])
+    subdir = list(tmp_path.iterdir())[0]
+    cfgfile = next(f for f in subdir.iterdir()
+                   if f.name.endswith("settings.cfg"))
+    cp = configparser.RawConfigParser()
+    cp.read(cfgfile)
+    assert float(cp.get("Model Settings", "radius_min")) == \
+        pytest.approx(5e-9)
+    assert float(cp.get("Model Settings", "radius_max")) == \
+        pytest.approx(5e-8)
+
+
+def test_config_json_roundtrip():
+    cfg = McSASConfig(num_contribs=123, candidates_per_step=7,
+                      find_background=False)
+    s = cfg.to_json()
+    back = McSASConfig.from_json(s)
+    assert back == cfg
+    assert '"numContribs": 123' in s
+
+
+def test_config_from_reference_json():
+    path = "/root/reference/src/mcsas/mcsas/mcsasparameters.json"
+    if not os.path.exists(path):
+        pytest.skip("reference json unavailable")
+    cfg = McSASConfig.from_reference_json(path)
+    assert cfg.num_contribs == 300
+    assert cfg.num_reps == 10
+    assert cfg.max_iterations == 100000
+    assert cfg.compensation_exponent == pytest.approx(2 / 3, rel=1e-4)
+    assert cfg.find_background is True
+    assert cfg.max_retries == 5
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        McSASConfig(num_contribs=0)
+    with pytest.raises(ValueError):
+        McSASConfig(candidates_per_step=0)
