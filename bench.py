@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""Headline benchmark: full 10-repetition sphere fit to χ² ≤ 1 on
+sasfit_sphere-10-1.dat (300 contributions), the BASELINE.json north star.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+value = wall-clock seconds for the MC optimization (compile excluded via a
+warm-up run; the persistent compilation cache makes repeat processes fast).
+vs_baseline = reference CPU quickstart seconds (36 s, an equivalent
+10-rep/300-contribution sphere fit on a 3.4 GHz i7) divided by value.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_SECONDS = 36.0       # doc/source/quickstart.rst:106
+DATASETS = [
+    "/root/reference/testdata/sasfit_sphere-10-1.dat",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "testdata", "sasfit_sphere-10-1.dat"),
+]
+
+
+def find_dataset():
+    for p in DATASETS:
+        if os.path.exists(p):
+            return p
+    print(json.dumps({"metric": "sphere-fit", "value": -1.0,
+                      "unit": "s", "vs_baseline": 0.0,
+                      "error": "dataset not found"}))
+    sys.exit(1)
+
+
+def main():
+    import jax
+    import mcsas_tpu as mt
+    from mcsas_tpu.config import McSASConfig
+    from mcsas_tpu.core.engine import McSASEngine
+    from mcsas_tpu.models import get_model
+
+    data = mt.load(find_dataset())
+    bound = get_model("Sphere").bind()
+    cfg = McSASConfig(num_contribs=300, num_reps=10,
+                      max_iterations=4_000_000, chunk_steps=1024,
+                      candidates_per_step=128, seed=2026, max_retries=1)
+    eng = McSASEngine(data, bound, cfg)
+
+    # warm-up: compile init + chunk without consuming the benchmark state
+    warm = eng._init_batch(jax.random.split(jax.random.PRNGKey(99), 10))
+    warm = eng._chunk_batch(warm)
+    jax.block_until_ready(warm.conval)
+
+    t0 = time.perf_counter()
+    res = eng.run()
+    elapsed = time.perf_counter() - t0
+
+    converged = bool(res.converged.all())
+    value = elapsed if converged else -1.0
+    out = {
+        "metric": "wall-clock 10-rep sphere MC fit to chi2<=1 "
+                  "(sasfit_sphere-10-1, 300 contribs)",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_SECONDS / elapsed, 2)
+        if converged else 0.0,
+        "proposals_per_sec": round(res.iters_per_sec),
+        "converged_reps": int(res.converged.sum()),
+        "max_chi2": round(float(res.conval.max()), 4),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
