@@ -11,31 +11,44 @@ iterations × numReps repetitions (:191-285).  The TPU-native recast:
   bank ``ibank`` (N × Nq, float32, ~150 KB — VMEM-resident), so the
   incremental total update is ``ft − ibank[ri] + I(rt)``: *one* kernel row
   evaluation per step instead of the reference's two (the old row is
-  cached, mcsas.py:360-371 recomputes it).
+  cached; mcsas.py:360-371 recomputes it).
 * The scale/background LM fit becomes the closed-form solve of
   :mod:`fitcore` — exact, fused into the step.
 * The data-dependent ``while χ² > crit`` becomes a *chunked* scan: a jitted
   ``lax.scan`` of ``chunk_steps`` masked steps, with convergence / retry /
   abort decisions on the host between chunks (bounded wasted work, same
   semantics as the reference's loop + retry at mcsas.py:214-246).
-* The numReps uncertainty ensemble is ``vmap``-batched and, on a device
-  mesh, sharded over the "rep" axis (zero-communication data parallelism —
-  see :mod:`mcsas_tpu.parallel`).
+* The numReps uncertainty ensemble is batched inside the scan body and, on
+  a device mesh, sharded over the "rep" axis (zero-communication data
+  parallelism — see :mod:`mcsas_tpu.parallel`).
 * Intensities are computed with the weight normalized by a host-side
   float64 reference volume (w/w_ref): float32 never touches the ~1e-32 SI
   magnitudes, and the fitted scale absorbs the factor exactly.
 
-Float discipline: ``ft`` is refreshed from the bank at every chunk boundary,
-so incremental float32 drift is bounded to one chunk (the reference worries
-about the same drift in float64, mcsas.py:365-366).
+Latency design (the sequential chain is the whole performance story —
+SURVEY §7 "hard parts"):
+
+* proposals for an entire chunk are drawn in ONE batched threefry call
+  before the scan — no per-step RNG chain;
+* the contribution cursor ``ri`` advances deterministically and is carried
+  as a single *unbatched* scalar shared by all repetitions, so every bank
+  update lowers to a true ``dynamic_update_slice`` — a vmapped per-rep
+  cursor would lower each of the five state writes to a TPU scatter;
+* ``candidates_per_step`` (K) proposals for the same slot are evaluated
+  as one batched kernel row + K-row reduction (MXU-shaped), and the best
+  improving candidate is accepted: per-slot proposal density and accept
+  criterion are identical to K reference iterations on that slot at one
+  step's latency.
+
+Float discipline: ``ft`` is refreshed from the bank at every chunk
+boundary, so incremental float32 drift is bounded to one chunk (the
+reference worries about the same drift in float64, mcsas.py:365-366).
 """
 from __future__ import annotations
 
-import dataclasses
 import logging
 import time
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -52,8 +65,13 @@ log = logging.getLogger(__name__)
 
 
 class RepState(NamedTuple):
-    """Per-repetition MC state; batched with a leading rep axis."""
-    key: jax.Array
+    """Per-repetition MC state; batched with a leading rep axis.
+
+    The contribution cursor is NOT part of this state: it is deterministic
+    and shared across repetitions (see module docstring), carried
+    separately as an unbatched scalar.
+    """
+    key: jax.Array       # per-rep PRNG key
     rset: jax.Array      # (N, P) contribution parameters, SI
     ibank: jax.Array     # (N, Nq) per-contribution intensities (normalized)
     ft: jax.Array        # (Nq,) total intensity
@@ -63,8 +81,7 @@ class RepState(NamedTuple):
     scale: jax.Array     # fitted A (normalized-intensity units)
     background: jax.Array
     conval: jax.Array    # current reduced χ²
-    ri: jax.Array        # contribution cursor (int32)
-    n_iter: jax.Array    # iterations done this attempt (int32)
+    n_iter: jax.Array    # proposals consumed this attempt (int32)
     n_moves: jax.Array   # accepted moves (int32)
 
 
@@ -149,7 +166,7 @@ class McSASEngine:
          self.w_ref) = make_intensity_kernels(bound, data, cfg, self.dtype)
 
         self._init_batch = jax.jit(jax.vmap(self._init_rep))
-        self._chunk_batch = jax.jit(jax.vmap(self._run_chunk))
+        self._chunk_batch = jax.jit(self._run_chunk_batched)
         self._reinit_merge = jax.jit(self._merge_reinit)
 
     # ------------------------------------------------------------- build
@@ -183,17 +200,15 @@ class McSASEngine:
                         vset=vset.astype(self.dtype),
                         sset=sset.astype(self.dtype),
                         scale=sol.scale, background=sol.background,
-                        conval=sol.chisqr, ri=zero, n_iter=zero,
-                        n_moves=zero)
+                        conval=sol.chisqr, n_iter=zero, n_moves=zero)
 
-    def _step(self, state: RepState, grid=None, consts=None,
+    def _step(self, state: RepState, cands, ri, grid=None, consts=None,
               axis_name=None) -> RepState:
-        """One accept/reject move (reference hot loop mcsas.py:354-404).
+        """One accept/reject move of one repetition (reference hot loop
+        mcsas.py:354-404).
 
-        With candidates_per_step == K > 1, K proposals for the *same* slot
-        are evaluated batched and the best improving one is accepted —
-        per-slot proposal density and accept criterion identical to K
-        reference iterations on that slot, at one step's latency.
+        *cands*: (K, P) pre-drawn proposals for this step's slot.
+        *ri*: scalar contribution cursor (shared across reps).
         """
         grid = self.grid if grid is None else grid
         consts = self.consts if consts is None else consts
@@ -202,65 +217,70 @@ class McSASEngine:
         crit = jnp.asarray(cfg.convergence_criterion, self.dtype)
         active = (state.conval > crit) & (state.n_iter < cfg.max_iterations)
 
-        key, sub = jax.random.split(state.key)
-        ri = state.ri
-        if k_cand == 1:
-            rt = draw_params(sub, self.bound, dtype=self.dtype)     # (P,)
-            i_new = self._intensity_row(grid, rt)                   # (Nq,)
-            ft_test = state.ft - state.ibank[ri] + i_new
-            sol = solve_scale_bg(ft_test, consts,
-                                 cfg.find_background,
-                                 cfg.positive_background,
-                                 axis_name=axis_name)
-        else:
-            cands = draw_params(sub, self.bound, count=k_cand,
-                                dtype=self.dtype)                   # (K, P)
-            i_cands = jax.vmap(
-                lambda p: self._intensity_row(grid, p))(cands)      # (K, Nq)
-            ft_base = state.ft - state.ibank[ri]
-            ft_tests = ft_base[None, :] + i_cands
-            sols = jax.vmap(
-                lambda x: solve_scale_bg(x, consts,
-                                         cfg.find_background,
-                                         cfg.positive_background,
-                                         axis_name=axis_name))(ft_tests)
-            best = jnp.argmin(sols.chisqr)
-            rt = cands[best]
-            i_new = i_cands[best]
-            ft_test = ft_tests[best]
-            sol = jax.tree_util.tree_map(lambda a: a[best], sols)
+        i_cands = jax.vmap(
+            lambda p: self._intensity_row(grid, p))(cands)       # (K, Nq)
+        ft_base = state.ft - state.ibank[ri]
+        ft_tests = ft_base[None, :] + i_cands
+        sols = jax.vmap(
+            lambda x: solve_scale_bg(x, consts, cfg.find_background,
+                                     cfg.positive_background,
+                                     axis_name=axis_name))(ft_tests)
+        best = jnp.argmin(sols.chisqr)
+        rt = cands[best]
+        i_new = i_cands[best]
+        sol = jax.tree_util.tree_map(lambda a: a[best], sols)
         accept = active & (sol.chisqr < state.conval)
 
         w_new, v_new, s_new = self._props_row(rt)
-        upd = partial(jax.lax.dynamic_update_index_in_dim, axis=0)
+        upd = jax.lax.dynamic_update_index_in_dim
         sel = lambda new, old: jnp.where(accept, new, old)  # noqa: E731
-        rset = upd(state.rset, sel(rt, state.rset[ri]), ri)
-        ibank = upd(state.ibank, sel(i_new, state.ibank[ri]), ri)
-        wset = upd(state.wset, sel(w_new, state.wset[ri]), ri)
+        rset = upd(state.rset, sel(rt, state.rset[ri]), ri, 0)
+        ibank = upd(state.ibank, sel(i_new, state.ibank[ri]), ri, 0)
+        wset = upd(state.wset, sel(w_new, state.wset[ri]), ri, 0)
         vset = upd(state.vset, sel(v_new.astype(self.dtype),
-                                   state.vset[ri]), ri)
+                                   state.vset[ri]), ri, 0)
         sset = upd(state.sset, sel(s_new.astype(self.dtype),
-                                   state.sset[ri]), ri)
-        return RepState(
-            key=key, rset=rset, ibank=ibank,
-            ft=sel(ft_test, state.ft),
+                                   state.sset[ri]), ri, 0)
+        return state._replace(
+            rset=rset, ibank=ibank, ft=sel(ft_tests[best], state.ft),
             wset=wset, vset=vset, sset=sset,
             scale=sel(sol.scale, state.scale),
             background=sel(sol.background, state.background),
             conval=sel(sol.chisqr, state.conval),
-            ri=jnp.where(active, (ri + 1) % self.n_contribs, ri),
             n_iter=state.n_iter + k_cand * active.astype(jnp.int32),
             n_moves=state.n_moves + accept.astype(jnp.int32))
 
-    def _run_chunk(self, state: RepState, grid=None, consts=None,
-                   axis_name=None) -> RepState:
-        # refresh the total from the bank: bounds float32 drift per chunk
-        state = state._replace(ft=jnp.sum(state.ibank, axis=0))
-        def body(s, _):
-            return self._step(s, grid, consts, axis_name), None
-        state, _ = jax.lax.scan(body, state, None,
-                                length=self.cfg.chunk_steps)
-        return state
+    def _draw_chunk_proposals(self, keys):
+        """Pre-draws all proposals for one chunk in one batched RNG call:
+        (chunk, R, K, P) from per-rep keys."""
+        cfg = self.cfg
+        count = cfg.chunk_steps * cfg.candidates_per_step
+
+        def per_rep(key):
+            return draw_params(key, self.bound, count=count,
+                               dtype=self.dtype).reshape(
+                cfg.chunk_steps, cfg.candidates_per_step, -1)
+        return jnp.swapaxes(jax.vmap(per_rep)(keys), 0, 1)
+
+    def _run_chunk_batched(self, state: RepState, ri0, grid=None,
+                           consts=None, axis_name=None):
+        """chunk_steps masked steps over the batched ensemble; returns the
+        advanced state and cursor."""
+        # refresh totals from the bank: bounds float32 drift per chunk
+        state = state._replace(ft=jnp.sum(state.ibank, axis=1))
+        keys = jax.vmap(jax.random.split)(state.key)
+        state = state._replace(key=keys[:, 0])
+        proposals = self._draw_chunk_proposals(keys[:, 1])
+
+        def body(carry, cands_t):
+            s, ri = carry
+            s = jax.vmap(
+                lambda srep, c: self._step(srep, c, ri, grid, consts,
+                                           axis_name))(s, cands_t)
+            return (s, (ri + 1) % self.n_contribs), None
+
+        (state, ri), _ = jax.lax.scan(body, (state, ri0), proposals)
+        return state, ri
 
     def _merge_reinit(self, state: RepState, fresh: RepState, mask):
         """Replaces rows of the batched state where mask is True
@@ -278,6 +298,7 @@ class McSASEngine:
         n_reps = cfg.num_reps
         keys = jax.random.split(jax.random.PRNGKey(cfg.seed), 2 * n_reps)
         state = self._init_batch(keys[:n_reps])
+        ri = jnp.zeros((), jnp.int32)
         if self.sharding is not None:
             state = jax.device_put(state, self.sharding)
         attempts = np.ones(n_reps, dtype=np.int64)
@@ -288,7 +309,7 @@ class McSASEngine:
         aborted = False
 
         while True:
-            state = self._chunk_batch(state)
+            state, ri = self._chunk_batch(state, ri)
             conval = np.asarray(state.conval, dtype=np.float64)
             n_iter = np.asarray(state.n_iter, dtype=np.int64)
             converged = conval <= cfg.convergence_criterion

@@ -30,7 +30,7 @@ def _state_specs() -> RepState:
         key=P("rep"), rset=P("rep"), ibank=P("rep", None, "q"),
         ft=P("rep", "q"), wset=P("rep"), vset=P("rep"), sset=P("rep"),
         scale=P("rep"), background=P("rep"), conval=P("rep"),
-        ri=P("rep"), n_iter=P("rep"), n_moves=P("rep"))
+        n_iter=P("rep"), n_moves=P("rep"))
 
 
 class ShardedEnsemble(McSASEngine):
@@ -73,16 +73,16 @@ class ShardedEnsemble(McSASEngine):
             return jax.vmap(
                 lambda k: self._init_rep(k, grid, consts, axis))(keys)
 
-        def chunk_local(state, grid, consts):
-            return jax.vmap(
-                lambda s: self._run_chunk(s, grid, consts, axis))(state)
+        def chunk_local(state, ri0, grid, consts):
+            return self._run_chunk_batched(state, ri0, grid, consts, axis)
 
         sm_init = jax.shard_map(init_local, mesh=mesh,
                                 in_specs=(P("rep"), grid_spec, consts_spec),
                                 out_specs=specs)
-        sm_chunk = jax.shard_map(chunk_local, mesh=mesh,
-                                 in_specs=(specs, grid_spec, consts_spec),
-                                 out_specs=specs)
+        sm_chunk = jax.shard_map(
+            chunk_local, mesh=mesh,
+            in_specs=(specs, P(), grid_spec, consts_spec),
+            out_specs=(specs, P()))
         grid_sharded = jax.device_put(
             self.grid, NamedSharding(mesh, grid_spec))
         consts_sharded = jax.tree_util.tree_map(
@@ -92,8 +92,8 @@ class ShardedEnsemble(McSASEngine):
 
         self._init_batch = jax.jit(lambda keys: sm_init(
             keys, grid_sharded, consts_sharded))
-        self._chunk_batch = jax.jit(lambda state: sm_chunk(
-            state, grid_sharded, consts_sharded))
+        self._chunk_batch = jax.jit(lambda state, ri: sm_chunk(
+            state, ri, grid_sharded, consts_sharded))
         self._reinit_merge = jax.jit(self._merge_reinit)
 
     def run(self, **kw):

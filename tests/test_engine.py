@@ -35,9 +35,11 @@ def small_cfg(**kw):
 def run_small(sphere_data, sphere_bound):
     eng = McSASEngine(sphere_data, sphere_bound, small_cfg())
     state = eng._init_batch(jax.random.split(jax.random.PRNGKey(11), 2))
+    ri = jnp.zeros((), jnp.int32)
     states = [state]
     for _ in range(3):
-        states.append(eng._chunk_batch(states[-1]))
+        state, ri = eng._chunk_batch(states[-1], ri)
+        states.append(state)
     return eng, states
 
 
