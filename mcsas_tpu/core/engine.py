@@ -165,8 +165,15 @@ class McSASEngine:
         (self._intensity_row, self._props_row, self.grid,
          self.w_ref) = make_intensity_kernels(bound, data, cfg, self.dtype)
 
-        self._init_batch = jax.jit(jax.vmap(self._init_rep))
-        self._chunk_batch = jax.jit(self._run_chunk_batched)
+        # grid/consts are jit *arguments*, not baked closure constants:
+        # the compiled executables are shared across datasets with the
+        # same shapes (and hit the persistent compile cache)
+        _init = jax.jit(lambda keys, grid, consts: jax.vmap(
+            lambda k: self._init_rep(k, grid, consts))(keys))
+        _chunk = jax.jit(self._run_chunk_batched)
+        self._init_batch = lambda keys: _init(keys, self.grid, self.consts)
+        self._chunk_batch = lambda state, ri: _chunk(state, ri, self.grid,
+                                                     self.consts)
         self._reinit_merge = jax.jit(self._merge_reinit)
 
     # ------------------------------------------------------------- build

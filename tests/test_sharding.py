@@ -42,7 +42,9 @@ def test_dp_matches_vmap(setup, baseline, cpus):
     se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((4, 1), cpus))
     res = se.run()
     np.testing.assert_array_equal(res.contribs, baseline.contribs)
-    np.testing.assert_array_equal(res.conval, baseline.conval)
+    # reduction fusion differs slightly under shard_map: accept decisions
+    # (and hence contribs) match exactly, chi2 to f32 rounding
+    np.testing.assert_allclose(res.conval, baseline.conval, rtol=1e-5)
 
 
 def test_q_sharded_matches_vmap(setup, baseline, cpus):
