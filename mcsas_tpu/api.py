@@ -100,6 +100,41 @@ class McSASResult:
                            engine=self.engine, fractions=fractions,
                            histograms=hists)
 
+    def regenerate_measval(self, full_grid: bool = True) -> np.ndarray:
+        """Regenerates the rep-averaged fitted intensity on the full
+        (unbinned) measurement grid and embeds it back into the raw row
+        layout — NaN on masked-out rows.  This is the working equivalent
+        of the reference's dormant 2D regeneration (mcsas.py:617-651):
+        for 2D (q, ψ) data the raw rows are the flattened image, so the
+        caller can reshape this vector back to image form.
+        """
+        import jax
+        import jax.numpy as jnp
+        q = self.data.q_si[self.data.valid] if full_grid else self.data.q
+        comp_exp = self.cfg.compensation_exponent
+        bound = self.bound
+
+        def rep_curve(rset):
+            def row(pvec):
+                ffv = bound.ff(jnp.asarray(q), pvec)
+                return ffv * ffv * bound.volume(pvec) ** (2.0 * comp_exp)
+            return jnp.sum(jax.vmap(row)(rset), axis=0)
+
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = jax.devices()[0]
+        with jax.default_device(cpu):
+            curves = np.asarray(jax.jit(jax.vmap(rep_curve))(
+                jnp.asarray(self.engine.contribs, jnp.float64)))
+        avg = (self.engine.scaling[:, None] * curves
+               + self.engine.background[:, None]).mean(axis=0)
+        if not full_grid:
+            return avg
+        out = np.full(self.data.q_si.shape, np.nan)
+        out[self.data.valid] = avg
+        return out
+
 
 def _resolve_model(model) -> BoundModel:
     if isinstance(model, BoundModel):
@@ -302,14 +337,21 @@ def run_files(filenames: Sequence, model=None, cfg: Optional[McSASConfig]
     output-file set; accumulates series statistics when cfg.series_stats
     (reference Calculator.__call__ per-file pipeline + series handling:
     gui/calc.py:276-379)."""
+    from .utils.log import RunLogFile
     cfg = cfg or McSASConfig()
     results = []
     series = {}
     for fn in filenames:
         d = data_mod.load(fn, config=data_config)
-        res = fit(d, model=model, cfg=cfg, histograms=histograms)
-        out = OutputFiles(res, out_dir=out_dir)
-        res.output_files = out.write_all(plot=plot)
+        # pre-create the output dir so the per-run log file (reference:
+        # gui/calc.py:283-288) captures the whole fit
+        probe = McSASResult(data=d, bound=_resolve_model(model), cfg=cfg,
+                            engine=None, fractions=None, histograms=[])
+        out = OutputFiles(probe, out_dir=out_dir)
+        with RunLogFile(out.path("log", ".txt")):
+            res = fit(d, model=model, cfg=cfg, histograms=histograms)
+            out.result = res
+            res.output_files = out.write_all(plot=plot)
         results.append(res)
         if cfg.series_stats:
             for h in res.histograms:

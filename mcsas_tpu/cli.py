@@ -45,6 +45,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "repeatable")
     p.add_argument("--plot", action="store_true",
                    help="write a result plot PDF")
+    p.add_argument("--rehistogram", action="store_true",
+                   help="treat inputs as HDF5 archives from a previous "
+                        "run: recompute histograms from the stored "
+                        "contributions without re-fitting")
+    p.add_argument("--bins", type=int, default=50,
+                   help="histogram bin count (default 50)")
+    p.add_argument("--xscale", choices=("lin", "log"), default="lin")
+    p.add_argument("--weight", choices=("vol", "num", "int", "surf"),
+                   default="vol", help="histogram weighting")
     p.add_argument("--series-stats", action="store_true",
                    help="accumulate series statistics across files")
     p.add_argument("--list-models", action="store_true",
@@ -111,8 +120,18 @@ def main(argv=None) -> int:
             return 2
     bound = model.bind(active=active, active_ranges=ranges or None)
 
+    if args.rehistogram:
+        return _rehistogram(args)
+
     from .api import run_files
+    from .post.histogram import HistogramSpec
+    specs = None
+    if (args.bins, args.xscale, args.weight) != (50, "lin", "vol"):
+        specs = [HistogramSpec(p, bin_count=args.bins, xscale=args.xscale,
+                               yweight=args.weight)
+                 for p in bound.active]
     results = run_files(args.filenames, model=bound, cfg=cfg,
+                        histograms=specs,
                         out_dir=args.outdir, plot=args.plot)
     failures = sum(0 if r.converged else 1 for r in results)
     for r in results:
@@ -120,6 +139,45 @@ def main(argv=None) -> int:
         print(f"{r.data.title}: chi2={r.engine.conval.round(3).tolist()} "
               f"[{status}], {r.engine.iters_per_sec:,.0f} proposals/s")
     return 1 if failures else 0
+
+
+def _rehistogram(args) -> int:
+    """Re-analysis of stored runs: rebuild histograms from archived
+    contributions (the programmatic resume the reference promises for its
+    contributions pickle, gui/calc.py:419-426, but never implemented)."""
+    import numpy as np
+    from .io.hdf import load_archive
+    from .models import get_model
+    from .post.histogram import HistogramSpec, histogram_all
+    from .io.ascii import write_ascii
+    import os
+    for fn in args.filenames:
+        state = load_archive(fn)
+        bound = get_model(state["model"]).bind(
+            active=state["active"],
+            active_ranges=dict(zip(state["active"], state["ranges"])),
+            fixed=state["fixed"])
+        contribs = np.transpose(state["contribs"], (2, 0, 1))
+        specs = [HistogramSpec(p, bin_count=args.bins, xscale=args.xscale,
+                               yweight=args.weight)
+                 for p in bound.active]
+        _, hists = histogram_all(contribs, state["data"], bound,
+                                 state["cfg"], specs)
+        outdir = args.outdir or os.path.dirname(fn) or "."
+        for h in hists:
+            out = os.path.join(
+                outdir,
+                os.path.basename(fn).replace(".hdf5", "")
+                + f"_rehist-{h.spec.param}-{h.spec.bin_count}"
+                  f"-{h.spec.xscale}-{h.spec.yweight}.dat")
+            cols = np.column_stack([
+                h.x_mean, h.x_width, h.bins.mean, h.bins.std,
+                h.observability, h.cdf.mean, h.cdf.std])
+            write_ascii(out, cols, header=("xMean", "xWidth", "yMean",
+                                           "yStd", "Obs", "cdfMean",
+                                           "cdfStd"))
+            print(f"wrote {out}")
+    return 0
 
 
 if __name__ == "__main__":  # pragma: no cover
