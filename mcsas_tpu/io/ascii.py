@@ -77,10 +77,27 @@ def read_array(lines, start_line: int = 0, end_line=None,
     return np.array(records, dtype=np.float64)
 
 
-def load_ascii(filename, skip_lines: int = 0) -> np.ndarray:
-    """Reads a raw (rows, cols) float64 array from an ASCII file."""
-    lines = read_text_lines(filename)
-    return read_array(lines, start_line=skip_lines, filename=str(filename))
+def load_ascii(filename, skip_lines: int = 0,
+               use_native: bool = None) -> np.ndarray:
+    """Reads a raw (rows, cols) float64 array from an ASCII file.
+
+    Uses the C++ tokenizer (mcsas_tpu/native/fastparse.cpp) when built,
+    falling back to the pure-Python parser; set MCSAS_TPU_NO_NATIVE=1 or
+    use_native=False to force the Python path.
+    """
+    import os
+    if use_native is None:
+        use_native = os.environ.get("MCSAS_TPU_NO_NATIVE", "") != "1"
+    with open(filename, "rb") as fd:
+        raw = fd.read()
+    text = _decode(raw)
+    if use_native:
+        from . import native
+        arr = native.parse_text(text, skip_lines)
+        if arr is not None:
+            return arr
+    return read_array(text.splitlines(), start_line=skip_lines,
+                      filename=str(filename))
 
 
 # ---------------------------------------------------------------- writing
