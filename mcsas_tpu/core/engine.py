@@ -75,9 +75,6 @@ class RepState(NamedTuple):
     rset: jax.Array      # (N, P) contribution parameters, SI
     ibank: jax.Array     # (N, Nq) per-contribution intensities (normalized)
     ft: jax.Array        # (Nq,) total intensity
-    wset: jax.Array      # (N,) weights w/w_ref
-    vset: jax.Array      # (N,) absolute volumes (SI)
-    sset: jax.Array      # (N,) surfaces (SI)
     scale: jax.Array     # fitted A (normalized-intensity units)
     background: jax.Array
     conval: jax.Array    # current reduced χ²
@@ -198,14 +195,10 @@ class McSASEngine:
             rset = draw_params(sub, bound, count=n, dtype=self.dtype)
         ibank = jax.vmap(lambda p: self._intensity_row(grid, p))(rset)
         ft = jnp.sum(ibank, axis=0)
-        wset, vset, sset = jax.vmap(self._props_row)(rset)
         sol = solve_scale_bg(ft, consts, cfg.find_background,
                              cfg.positive_background, axis_name=axis_name)
         zero = jnp.zeros((), jnp.int32)
         return RepState(key=key, rset=rset, ibank=ibank, ft=ft,
-                        wset=wset.astype(self.dtype),
-                        vset=vset.astype(self.dtype),
-                        sset=sset.astype(self.dtype),
                         scale=sol.scale, background=sol.background,
                         conval=sol.chisqr, n_iter=zero, n_moves=zero)
 
@@ -238,19 +231,12 @@ class McSASEngine:
         sol = jax.tree_util.tree_map(lambda a: a[best], sols)
         accept = active & (sol.chisqr < state.conval)
 
-        w_new, v_new, s_new = self._props_row(rt)
         upd = jax.lax.dynamic_update_index_in_dim
         sel = lambda new, old: jnp.where(accept, new, old)  # noqa: E731
         rset = upd(state.rset, sel(rt, state.rset[ri]), ri, 0)
         ibank = upd(state.ibank, sel(i_new, state.ibank[ri]), ri, 0)
-        wset = upd(state.wset, sel(w_new, state.wset[ri]), ri, 0)
-        vset = upd(state.vset, sel(v_new.astype(self.dtype),
-                                   state.vset[ri]), ri, 0)
-        sset = upd(state.sset, sel(s_new.astype(self.dtype),
-                                   state.sset[ri]), ri, 0)
         return state._replace(
             rset=rset, ibank=ibank, ft=sel(ft_tests[best], state.ft),
-            wset=wset, vset=vset, sset=sset,
             scale=sel(sol.scale, state.scale),
             background=sel(sol.background, state.background),
             conval=sel(sol.chisqr, state.conval),

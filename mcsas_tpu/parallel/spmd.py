@@ -28,7 +28,7 @@ from .mesh import make_mesh, pad_reps_for_mesh
 def _state_specs() -> RepState:
     return RepState(
         key=P("rep"), rset=P("rep"), ibank=P("rep", None, "q"),
-        ft=P("rep", "q"), wset=P("rep"), vset=P("rep"), sset=P("rep"),
+        ft=P("rep", "q"),
         scale=P("rep"), background=P("rep"), conval=P("rep"),
         n_iter=P("rep"), n_moves=P("rep"))
 
