@@ -45,7 +45,7 @@ def main():
     bound = get_model("Sphere").bind()
     cfg = McSASConfig(num_contribs=300, num_reps=10,
                       max_iterations=8_000_000, chunk_steps=2048,
-                      candidates_per_step=256, seed=2026, max_retries=1)
+                      candidates_per_step=128, seed=2026, max_retries=1)
     eng = McSASEngine(data, bound, cfg)
 
     # warm-up: compile init + chunk without consuming the benchmark state

@@ -43,6 +43,10 @@ class McSASConfig:
     # criterion and per-slot proposal distribution are unchanged, so the
     # fitted distributions are statistically equivalent.
     candidates_per_step: int = 1
+    # Fused Pallas chunk kernel: "auto" uses it on TPU for eligible models
+    # (elementwise form factors, no smearing), "on" forces (errors if
+    # unsupported), "off" always uses the XLA scan path.
+    use_pallas: str = "auto"
 
     _JSON_KEYS = {
         "num_contribs": "numContribs",
@@ -62,6 +66,7 @@ class McSASConfig:
         "chunk_steps": "chunkSteps",
         "device_mesh": "deviceMesh",
         "candidates_per_step": "candidatesPerStep",
+        "use_pallas": "usePallas",
     }
 
     def __post_init__(self):

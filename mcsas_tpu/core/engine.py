@@ -162,16 +162,61 @@ class McSASEngine:
         (self._intensity_row, self._props_row, self.grid,
          self.w_ref) = make_intensity_kernels(bound, data, cfg, self.dtype)
 
+        self.uses_pallas = self._pallas_eligible()
+        if self.uses_pallas:
+            self._pad_fit_grid(128)   # lane-align for the fused kernel
+
         # grid/consts are jit *arguments*, not baked closure constants:
         # the compiled executables are shared across datasets with the
         # same shapes (and hit the persistent compile cache)
         _init = jax.jit(lambda keys, grid, consts: jax.vmap(
             lambda k: self._init_rep(k, grid, consts))(keys))
-        _chunk = jax.jit(self._run_chunk_batched)
         self._init_batch = lambda keys: _init(keys, self.grid, self.consts)
-        self._chunk_batch = lambda state, ri: _chunk(state, ri, self.grid,
-                                                     self.consts)
+        if self.uses_pallas:
+            from ..ops.mc_kernel import build_chunk_fn
+            self._chunk_batch = build_chunk_fn(self)
+        else:
+            _chunk = jax.jit(self._run_chunk_batched)
+            self._chunk_batch = lambda state, ri: _chunk(
+                state, ri, self.grid, self.consts)
         self._reinit_merge = jax.jit(self._merge_reinit)
+
+    def _pallas_eligible(self) -> bool:
+        mode = getattr(self.cfg, "use_pallas", "off")
+        if mode == "off" or type(self) is not McSASEngine:
+            return False
+        from ..ops import mc_kernel
+        ok = mc_kernel.supports(self)
+        if mode == "on":
+            if not ok:
+                raise ValueError(
+                    "use_pallas='on' but this model/config is not "
+                    "eligible for the fused kernel")
+            return True
+        return ok and self._compute_device().platform == "tpu"
+
+    @staticmethod
+    def _compute_device():
+        """The device arrays will actually land on (honors any
+        jax_default_device override, e.g. tests pinning to CPU)."""
+        dev = jax.config.jax_default_device
+        return dev if dev is not None else jax.devices()[0]
+
+    def _pad_fit_grid(self, multiple: int):
+        """Pads the fit grid with zero-weight points (invisible to every
+        reduction; measval is sliced back to data.count in run())."""
+        nq = int(self.grid.shape[0])
+        pad = (-nq) % multiple
+        if not pad:
+            return
+        grid_pad = jnp.repeat(self.grid[-1:], pad, axis=0)
+        self.grid = jnp.concatenate([self.grid, grid_pad], axis=0)
+        c = self.consts
+        zeros = jnp.zeros((pad,), c.y.dtype)
+        self.consts = FitConstants(
+            y=jnp.concatenate([c.y, zeros]),
+            u=jnp.concatenate([c.u, zeros]),
+            s_u=c.s_u, s_uy=c.s_uy, n=c.n)
 
     # ------------------------------------------------------------- build
     def _init_rep(self, key, grid=None, consts=None,
@@ -342,7 +387,7 @@ class McSASEngine:
         total_iters += int(n_iter.sum())
         n_moves = state_np.n_moves.astype(np.int64)
         measval = (state_np.scale[:, None] * state_np.ft
-                   + state_np.background[:, None])
+                   + state_np.background[:, None])[:, :self.data.count]
         return EngineResult(
             contribs=state_np.rset,
             conval=conval,

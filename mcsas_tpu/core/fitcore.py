@@ -82,17 +82,26 @@ def solve_scale_bg(x, c: FitConstants, find_background: bool,
     s_xx = reduce(u * x * x)
     s_xy = reduce(u * x * y)
 
-    eps = jnp.asarray(1e-30, x.dtype)
-    a_nobg = s_xy / jnp.maximum(s_xx, eps)
+    # scale-invariant guards: x may span absurd absolute magnitudes
+    # (SI intensities ~1e-30), so degeneracy must be judged relative to
+    # s_u·s_xx (det = s_u·s_xx·(1 − corr²)), never against absolute eps
+    rel_eps = jnp.asarray(
+        1e-6 if jnp.dtype(x.dtype) == jnp.float32 else 1e-12, x.dtype)
+    xx_zero = s_xx <= 0.0
+    a_nobg = jnp.where(xx_zero, jnp.zeros_like(s_xy),
+                       s_xy / jnp.where(xx_zero, jnp.ones_like(s_xx),
+                                        s_xx))
 
     if find_background:
-        det = c.s_u * s_xx - s_x * s_x
-        safe_det = jnp.where(jnp.abs(det) > eps, det, eps)
+        denom = c.s_u * s_xx
+        det = denom - s_x * s_x
+        degenerate = xx_zero | (det <= rel_eps * denom)
+        safe_det = jnp.where(degenerate, jnp.ones_like(det), det)
         a_bg = (c.s_u * s_xy - s_x * c.s_uy) / safe_det
-        b_bg = (c.s_uy - a_bg * s_x) / jnp.maximum(c.s_u, eps)
-        degenerate = jnp.abs(det) <= eps
+        b_bg = (c.s_uy - a_bg * s_x) / c.s_u
         a = jnp.where(degenerate, a_nobg, a_bg)
-        b = jnp.where(degenerate, jnp.zeros_like(b_bg), b_bg)
+        b_deg = (c.s_uy - a_nobg * s_x) / c.s_u
+        b = jnp.where(degenerate, b_deg, b_bg)
         if positive_background:
             neg = b < 0.0
             a = jnp.where(neg, a_nobg, a)

@@ -81,6 +81,9 @@ class SASModel:
     can_smear: bool = False
     default_active: Tuple[str, ...] = ()
     doc: str = ""
+    # True when ff() is purely elementwise in q (no quadrature grids):
+    # such models are eligible for the fused Pallas MC kernel
+    elementwise_q: bool = False
 
     def spec(self, name: str) -> ParamSpec:
         for s in self.params:

@@ -44,6 +44,7 @@ def _gauss_volume(p):
 
 GaussianChain = SASModel(
     name="GaussianChain",
+    elementwise_q=True,
     doc="Debye Gaussian polymer coil with excess scattering length β "
         "(SASfit Gauss2)",
     params=(

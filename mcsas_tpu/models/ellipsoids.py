@@ -85,6 +85,7 @@ def _sph_cs_ff(q, p):
 
 SphericalCoreShell = SASModel(
     name="SphericalCoreShell",
+    elementwise_q=True,
     doc="Core-shell sphere (SASfit Spherical Shell III, §3.1.4)",
     params=(
         ParamSpec("radius", NM.to_si(1.0), NM, (0.0, float("inf")),

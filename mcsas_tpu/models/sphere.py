@@ -35,6 +35,7 @@ def _sphere_formfactor(q, p):
 
 Sphere = SASModel(
     name="Sphere",
+    elementwise_q=True,
     doc="Rayleigh sphere form factor F = 3(sin qr − qr cos qr)/(qr)³",
     can_smear=True,
     params=(
@@ -71,6 +72,7 @@ def _lma_formfactor(q, p):
 
 LMADenseSphere = SASModel(
     name="LMADenseSphere",
+    elementwise_q=True,
     doc="Sphere with local-monodisperse-approximation Percus-Yevick "
         "hard-sphere structure factor (Pedersen 1994 eqs. 15-17)",
     can_smear=True,

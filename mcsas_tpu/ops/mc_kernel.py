@@ -1,0 +1,301 @@
+# -*- coding: utf-8 -*-
+"""Fused Pallas TPU kernel: an entire MC chunk in one kernel launch.
+
+The XLA scan path (core/engine.py) pays a fixed ~20-25 µs per sequential
+step in op-dispatch/pipeline overheads.  This kernel keeps the whole
+ensemble state — the (R, N, Nq) intensity bank, contribution parameters and
+fit scalars — resident in VMEM and executes ``chunk_steps`` accept/reject
+moves in a single ``fori_loop``, with the TPU hardware PRNG generating
+proposals in-kernel.  Math is identical to McSASEngine._step (same
+closed-form solve, same best-of-K accept), so the XLA path remains the
+semantics oracle; only the RNG stream differs (hardware PRNG vs threefry).
+
+Eligibility: models whose form factor is purely elementwise in q
+(``SASModel.elementwise_q``) without smearing: the candidate evaluation is
+then a (R, K, Nq) broadcast — Sphere, LMADenseSphere, GaussianChain,
+SphericalCoreShell.  Everything else uses the XLA scan path.
+
+VMEM budget at the default benchmark shape (R=10, N=300, Nq=128, K=128):
+bank 1.5 MB + parameters 1.5 MB + (R, K, Nq) temporaries ≈ 5 MB ≪ 16 MB.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+log = logging.getLogger(__name__)
+
+_LANE = 128
+_F32_INV24 = float(2.0 ** -24)
+_DECADES = {"logdec1": 1.0, "logdec2": 2.0, "logdec3": 3.0}
+
+
+def supports(engine) -> bool:
+    """True when the fused kernel can run this engine's configuration."""
+    bound, data, cfg = engine.bound, engine.data, engine.cfg
+    return (bound.model.elementwise_q
+            and not (data.uses_smearing and bound.model.can_smear)
+            and jnp.dtype(cfg.dtype) == jnp.float32
+            and bound.n_active >= 1)
+
+
+def pad_lanes(n: int) -> int:
+    return ((n + _LANE - 1) // _LANE) * _LANE
+
+
+def _hash_bits(seed, step, salt, shape):
+    """Stateless 32-bit avalanche hash — interpret-mode stand-in for the
+    TPU hardware PRNG (pltpu.prng_* has no CPU lowering).  Statistical
+    quality is adequate for MC smoke validation."""
+    r, k = shape
+    idx = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * jnp.int32(k)
+           + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+    h = (seed ^ (step * jnp.int32(-1640531527))
+         ^ (jnp.int32(salt) * jnp.int32(40503))) + idx * jnp.int32(-2048144789)
+    for shift, mult in ((13, -1640531527), (11, -2048144789),
+                        (15, -1028477387)):
+        h = h ^ jax.lax.shift_right_logical(h, jnp.int32(shift))
+        h = h * jnp.int32(mult)
+    return h
+
+
+def build_chunk_fn(engine, interpret=None):
+    """Returns chunk_fn(state, ri) -> (state, ri) using the fused kernel.
+
+    The engine's grid/consts must already be lane-padded (u = 0 on padded
+    lanes so they are invisible to every reduction).  On a non-TPU compute
+    device the kernel runs in interpreter mode (CI validation of the
+    kernel logic without hardware).
+    """
+    if interpret is None:
+        interpret = engine._compute_device().platform != "tpu"
+    bound = engine.bound
+    cfg = engine.cfg
+    n_reps = cfg.num_reps
+    n = cfg.num_contribs
+    k_cand = cfg.candidates_per_step
+    n_p = bound.n_active
+    nq = int(engine.grid.shape[0])
+    assert nq % _LANE == 0, "grid must be lane-padded for the pallas path"
+    comp2 = 2.0 * cfg.compensation_exponent
+    v_ref = bound.reference_volume()
+    crit = float(cfg.convergence_criterion)
+    max_iter = int(cfg.max_iterations)
+    chunk = int(cfg.chunk_steps)
+    find_bg = cfg.find_background
+    pos_bg = cfg.positive_background
+    n_fit = int(engine.consts.n)
+    fixed = {name: float(v) for name, v in bound.fixed}
+    generators = bound.generators
+
+    def kernel(q_ref, y_ref, u_ref, sc_ref, ranges_ref, seed_ref, ri_ref,
+               rset_in, ibank_in, ft_in, fstate_in, istate_in,
+               rset_ref, ibank_ref, ft_ref, fstate_ref, istate_ref,
+               ri_out_ref):
+        if not interpret:
+            pltpu.prng_seed(seed_ref[0])
+        # copy aliased inputs are the same buffers as outputs; the *_in
+        # refs are unused but keep the alias bookkeeping explicit
+        del rset_in, ibank_in, ft_in, fstate_in, istate_in
+
+        q3 = q_ref[:].reshape(1, 1, nq)
+        y3 = y_ref[:].reshape(1, 1, nq)
+        u3 = u_ref[:].reshape(1, 1, nq)
+        y2 = y_ref[:]                      # (1, nq)
+        u2 = u_ref[:]
+        s_u = sc_ref[0]
+        s_uy = sc_ref[1]
+        eps = jnp.float32(1e-30)
+
+        # drift-free start: rebuild totals from the bank
+        ft_ref[:] = jnp.sum(ibank_ref[:], axis=1)
+
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (n_reps, k_cand), 1)
+
+        def body(step, ri):
+            # ---- proposals: hardware PRNG, one (R, K) draw per parameter
+            pdict = dict(fixed)
+            cands = []
+            for ip, name in enumerate(bound.active):
+                if interpret:
+                    ibits = _hash_bits(seed_ref[0], step, ip,
+                                       (n_reps, k_cand))
+                else:
+                    ibits = pltpu.bitcast(
+                        pltpu.prng_random_bits((n_reps, k_cand)),
+                        jnp.int32)
+                # top 24 bits → [0, 1); Mosaic lacks uint32→f32 casts, so
+                # work in int32 with a logical shift before casting
+                u24 = jax.lax.shift_right_logical(ibits, jnp.int32(8))
+                u01 = u24.astype(jnp.float32) * _F32_INV24
+                gen = generators[ip]
+                if gen in _DECADES:
+                    dec = _DECADES[gen]
+                    u01 = (jnp.exp2(u01 * (dec * 3.321928094887362))
+                           - 1.0) / (10.0 ** dec)
+                lo = ranges_ref[2 * ip]
+                hi = ranges_ref[2 * ip + 1]
+                cand = lo + u01 * (hi - lo)            # (R, K)
+                cands.append(cand)
+                pdict[name] = cand[:, :, None]         # (R, K, 1)
+
+            # ---- candidate intensity rows (model ff is elementwise in q)
+            ffv = bound.model.ff(q3, pdict)            # (R, K, nq)
+            vol = bound.model.volume(pdict)
+            if not hasattr(vol, "ndim") or vol.ndim == 0:
+                vol = jnp.full((n_reps, k_cand, 1), vol, jnp.float32)
+            w = (vol / v_ref) ** comp2                 # (R, K, 1)
+            rows = ffv * ffv * w
+
+            # ---- incremental totals and closed-form solve per candidate
+            old_row = ibank_ref[:, pl.ds(ri, 1), :]    # (R, 1, nq)
+            ft = ft_ref[:]                             # (R, nq)
+            x = ft[:, None, :] - old_row + rows        # (R, K, nq)
+            ux = u3 * x
+            s_x = jnp.sum(ux, axis=2)                  # (R, K)
+            s_xx = jnp.sum(ux * x, axis=2)
+            s_xy = jnp.sum(ux * y3, axis=2)
+            # scale-invariant degeneracy guards, mirroring fitcore
+            rel_eps = jnp.float32(1e-6)
+            xx_zero = s_xx <= 0.0
+            a_nobg = jnp.where(
+                xx_zero, jnp.zeros_like(s_xy),
+                s_xy / jnp.where(xx_zero, jnp.ones_like(s_xx), s_xx))
+            if find_bg:
+                denom = s_u * s_xx
+                det = denom - s_x * s_x
+                degen = xx_zero | (det <= rel_eps * denom)
+                safe = jnp.where(degen, jnp.ones_like(det), det)
+                a = (s_u * s_xy - s_x * s_uy) / safe
+                b = (s_uy - a * s_x) / s_u
+                a = jnp.where(degen, a_nobg, a)
+                b = jnp.where(degen, (s_uy - a_nobg * s_x) / s_u, b)
+                if pos_bg:
+                    neg = b < 0.0
+                    a = jnp.where(neg, a_nobg, a)
+                    b = jnp.maximum(b, 0.0)
+            else:
+                a = a_nobg
+                b = jnp.zeros_like(a)
+            r = y3 - a[:, :, None] * x - b[:, :, None]
+            chi2 = jnp.sum(u3 * r * r, axis=2) * jnp.float32(1.0 / n_fit)
+
+            # ---- best candidate per rep (first-match one-hot, no gather)
+            min_chi = jnp.min(chi2, axis=1, keepdims=True)       # (R, 1)
+            masked = jnp.where(chi2 <= min_chi, kiota, jnp.int32(k_cand))
+            bidx = jnp.min(masked, axis=1, keepdims=True)        # (R, 1)
+            onehot = (kiota == bidx).astype(jnp.float32)         # (R, K)
+            oh3 = onehot[:, :, None]
+            best_x = jnp.sum(x * oh3, axis=1)                    # (R, nq)
+            best_rows = jnp.sum(rows * oh3, axis=1)
+            best_a = jnp.sum(a * onehot, axis=1, keepdims=True)  # (R, 1)
+            best_b = jnp.sum(b * onehot, axis=1, keepdims=True)
+
+            # ---- accept/reject (vectorized across reps)
+            conval = fstate_ref[:, 2:3]                          # (R, 1)
+            n_it = istate_ref[:, 0:1]
+            active = (conval > jnp.float32(crit)) & (n_it < jnp.int32(max_iter))
+            accept = active & (min_chi < conval)
+            acc3 = accept[:, :, None]                            # (R, 1, 1)
+
+            ibank_ref[:, pl.ds(ri, 1), :] = jnp.where(
+                acc3, best_rows[:, None, :], old_row)
+            ft_ref[:] = jnp.where(accept, best_x, ft)
+            old_p = rset_ref[:, pl.ds(ri, 1), :]                 # (R, 1, P)
+            cand_block = jnp.stack(
+                [jnp.sum(c * onehot, axis=1) for c in cands],
+                axis=-1)[:, None, :]                             # (R, 1, P)
+            rset_ref[:, pl.ds(ri, 1), :] = jnp.where(
+                acc3, cand_block, old_p)
+            fstate_ref[:, 0:1] = jnp.where(accept, best_a,
+                                           fstate_ref[:, 0:1])
+            fstate_ref[:, 1:2] = jnp.where(accept, best_b,
+                                           fstate_ref[:, 1:2])
+            fstate_ref[:, 2:3] = jnp.where(accept, min_chi, conval)
+            istate_ref[:, 0:1] = n_it + jnp.int32(k_cand) * active.astype(jnp.int32)
+            istate_ref[:, 1:2] = (istate_ref[:, 1:2]
+                                  + accept.astype(jnp.int32))
+            next_ri = ri + jnp.int32(1)
+            return jnp.where(next_ri >= jnp.int32(n), jnp.int32(0), next_ri)
+
+        # int32 bounds: under global x64 plain python bounds would make the
+        # loop index int64, which Mosaic cannot cast back
+        ri_final = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk), body,
+                                     ri_ref[0])
+        ri_out_ref[0] = ri_final
+
+    grid_1d = engine.grid.reshape(1, nq)
+    y_1d = engine.consts.y.reshape(1, nq)
+    u_1d = engine.consts.u.reshape(1, nq)
+    sc = jnp.asarray([engine.consts.s_u, engine.consts.s_uy], jnp.float32)
+    ranges = jnp.asarray(
+        np.asarray(bound.ranges, np.float64).reshape(-1), jnp.float32)
+
+    pallas_fn = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_reps, n, n_p), jnp.float32),   # rset
+            jax.ShapeDtypeStruct((n_reps, n, nq), jnp.float32),    # ibank
+            jax.ShapeDtypeStruct((n_reps, nq), jnp.float32),       # ft
+            jax.ShapeDtypeStruct((n_reps, 8), jnp.float32),        # fstate
+            jax.ShapeDtypeStruct((n_reps, 8), jnp.int32),          # istate
+            jax.ShapeDtypeStruct((1,), jnp.int32),                 # ri
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # y
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # u
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sc
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ranges
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ri0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rset
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ibank
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ft
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # fstate
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # istate
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3, 11: 4},
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def chunk_fn(state, ri):
+        # advance the per-rep threefry keys; the kernel seeds the hardware
+        # PRNG from the first rep's fresh subkey
+        keys = jax.vmap(jax.random.split)(state.key)
+        new_key = keys[:, 0]
+        seed = jnp.asarray([keys[0, 1, 0].astype(jnp.int32)])
+        fstate = jnp.concatenate(
+            [state.scale[:, None], state.background[:, None],
+             state.conval[:, None],
+             jnp.zeros((n_reps, 5), jnp.float32)], axis=1)
+        istate = jnp.concatenate(
+            [state.n_iter[:, None], state.n_moves[:, None],
+             jnp.zeros((n_reps, 6), jnp.int32)], axis=1)
+        rset, ibank, ft, fstate, istate, ri_out = pallas_fn(
+            grid_1d, y_1d, u_1d, sc, ranges, seed,
+            ri.reshape(1).astype(jnp.int32),
+            state.rset, state.ibank, state.ft, fstate, istate)
+        new_state = state._replace(
+            key=new_key, rset=rset, ibank=ibank, ft=ft,
+            scale=fstate[:, 0], background=fstate[:, 1],
+            conval=fstate[:, 2],
+            n_iter=istate[:, 0], n_moves=istate[:, 1])
+        return new_state, ri_out[0]
+
+    return chunk_fn

@@ -180,7 +180,8 @@ def compute_fractions(contribs: np.ndarray, data: SASData,
     volumes = np.zeros((n, n_reps))
     surfaces = np.zeros((n, n_reps))
     sigma = np.asarray(data.fu, np.float64)
-    consts = make_constants(data.f, data.fu, jnp.float64)
+    with jax.default_device(_cpu_device()):
+        consts = make_constants(data.f, data.fu, jnp.float64)
 
     for ri in range(n_reps):
         rset = contribs[ri]
@@ -188,9 +189,15 @@ def compute_fractions(contribs: np.ndarray, data: SASData,
         wset = np.array([bound.volume(r.astype(np.float64))
                          for r in rset]) ** (2 * cfg.compensation_exponent)
         ft = bank.sum(axis=0)
-        sol = solve_scale_bg(jnp.asarray(ft), consts, cfg.find_background,
-                             cfg.positive_background)
-        a, b = float(sol.scale), float(sol.background)
+        # normalize before solving: SI-scale intensities (~1e-30) underflow
+        # float32 reductions, and the TPU backend silently truncates f64 —
+        # the fitted scale is exactly renormalized afterwards
+        ft_norm = float(np.max(np.abs(ft))) or 1.0
+        with jax.default_device(_cpu_device()):
+            sol = solve_scale_bg(jnp.asarray(ft / ft_norm), consts,
+                                 cfg.find_background,
+                                 cfg.positive_background)
+        a, b = float(sol.scale) / ft_norm, float(sol.background)
         scaling[:, ri] = (a, b)
         volumes[:, ri] = vset
         surfaces[:, ri] = sset
