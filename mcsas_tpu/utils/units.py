@@ -91,6 +91,51 @@ ScatteringIntensity = _unit("ScatteringIntensity", "(m sr)⁻¹", {
 Fraction = _unit("Fraction", "-", {"%": 1e-2, "-": 1.0, "": 1.0})
 NoUnit = _unit("NoUnit", "-", {"": 1.0, "-": 1.0})
 Time = _unit("Time", "s", {"ns": 1e-9, "µs": 1e-6, "ms": 1e-3, "s": 1.0})
+DynamicViscosity = _unit("DynamicViscosity", "N s m⁻²", {
+    "Pa s": 1.0, "kg m⁻¹ s⁻¹": 1.0, "N s m⁻²": 1.0, "mPa s": 1e-3,
+    "centiPoise": 1e-3, "cp": 1e-3, "cP": 1e-3, "poise": 1e-1,
+    "dyne s cm⁻²": 1e-1, "g cm⁻¹ s⁻¹": 1e-1, "sl ft⁻¹ s⁻¹": 47.880})
+
+
+@dataclass(frozen=True)
+class TemperatureUnit(Unit):
+    """Temperature needs affine (not multiplicative) conversions
+    (reference: utils/units.py:174-223)."""
+
+    def to_si(self, value):
+        n = self.display
+        if n in ("°F", "F"):
+            return (value + 459.67) * 5.0 / 9.0
+        if n in ("°C", "C"):
+            return value + 273.15
+        if n in ("°R", "R"):
+            return value * 5.0 / 9.0
+        if n in ("°De", "De"):
+            return 373.15 - value * 2.0 / 3.0
+        return value
+
+    def to_display(self, value):
+        n = self.display
+        if n in ("°F", "F"):
+            return value * 9.0 / 5.0 - 459.67
+        if n in ("°C", "C"):
+            return value - 273.15
+        if n in ("°R", "R"):
+            return value * 9.0 / 5.0
+        if n in ("°De", "De"):
+            return (373.15 - value) * 3.0 / 2.0
+        return value
+
+    def with_display(self, name: str) -> "TemperatureUnit":
+        self.factor(name)
+        return TemperatureUnit(self.kind, self.si_name, name,
+                               self.magnitudes)
+
+    __call__ = with_display
+
+
+Temperature = TemperatureUnit("Temperature", "K", "K", tuple(
+    (n, 1.0) for n in ("°F", "F", "°C", "C", "K", "°R", "R", "°De", "De")))
 
 # Common shortcuts mirroring the reference module-level instances
 NM = Length("nm")
@@ -100,7 +145,7 @@ DEG = Angle("°")
 
 _BY_KIND = {u.kind: u for u in (
     Length, Area, Volume, Angle, SLD, ScatteringVector, ScatteringIntensity,
-    Fraction, NoUnit, Time)}
+    Fraction, NoUnit, Time, DynamicViscosity, Temperature)}
 
 
 def unit_by_kind(kind: str, display: str = None) -> Unit:
