@@ -181,6 +181,25 @@ class McSASEngine:
                 state, ri, self.grid, self.consts)
         self._reinit_merge = jax.jit(self._merge_reinit)
 
+        # single-launch driver: a device-side while_loop over chunks runs
+        # one whole attempt without any host round trip (the remote-attach
+        # RTT per launch is material); used when no stop/progress callback
+        # needs the chunk boundary
+        crit = float(cfg.convergence_criterion)
+
+        def drive(state, ri):
+            def running(carry):
+                s, _ = carry
+                return jnp.any((s.conval > crit)
+                               & (s.n_iter < cfg.max_iterations))
+
+            def body(carry):
+                return self._chunk_batch(*carry)
+
+            return jax.lax.while_loop(running, body, (state, ri))
+
+        self._drive = jax.jit(drive)
+
     def _pallas_eligible(self) -> bool:
         mode = getattr(self.cfg, "use_pallas", "off")
         if mode == "off" or type(self) is not McSASEngine:
@@ -346,8 +365,12 @@ class McSASEngine:
         t0 = time.perf_counter()
         aborted = False
 
+        # without cooperative-abort/progress hooks, the whole attempt runs
+        # as ONE device launch (while_loop over chunks) — no per-chunk RTT
+        step_fn = (self._drive if stop is None and progress is None
+                   else self._chunk_batch)
         while True:
-            state, ri = self._chunk_batch(state, ri)
+            state, ri = step_fn(state, ri)
             conval = np.asarray(state.conval, dtype=np.float64)
             n_iter = np.asarray(state.n_iter, dtype=np.int64)
             converged = conval <= cfg.convergence_criterion
