@@ -150,6 +150,40 @@ def _resolve_model(model) -> BoundModel:
     raise TypeError(f"cannot interpret {model!r} as a model")
 
 
+def _default_unbounded_ranges(bound: BoundModel, data: SASData
+                              ) -> BoundModel:
+    """Replaces non-finite active sampling ranges with the π/q size
+    estimate of the data — the reference GUI's 'copy sphere size
+    estimates to the model' behavior (doc/source/quickstart.rst step 2).
+    Several reference models declare open-ended value ranges ('parameters
+    must not be inf', models/cylindersisotropic.py:14) and rely on the
+    user setting finite limits; sampling from them would propose inf."""
+    import math
+    bad = [i for i, (lo, hi) in enumerate(bound.ranges)
+           if not (math.isfinite(lo) and math.isfinite(hi))]
+    if not bad:
+        return bound
+    est = data.spherical_size_estimate
+    if est is None:
+        raise ValueError(
+            "active parameter range is unbounded and the data provides "
+            "no size estimate; pass active_ranges to bind()")
+    overrides = {}
+    for i in bad:
+        name = bound.active[i]
+        lo, hi = bound.ranges[i]
+        overrides[name] = (max(lo, est[0]) if math.isfinite(lo) else est[0],
+                           est[1])
+        log.info("active range of %r was unbounded; defaulting to the "
+                 "data size estimate [%.3g, %.3g]", name, *overrides[name])
+    return bound.model.bind(active=bound.active,
+                            active_ranges={
+                                **{n: r for n, r in
+                                   zip(bound.active, bound.ranges)},
+                                **overrides},
+                            fixed=dict(bound.fixed))
+
+
 def fit(data: Union[SASData, str, os.PathLike],
         model=None,
         cfg: Optional[McSASConfig] = None,
@@ -170,6 +204,7 @@ def fit(data: Union[SASData, str, os.PathLike],
     if not isinstance(data, SASData):
         data = data_mod.load(data)
     bound = _resolve_model(model)
+    bound = _default_unbounded_ranges(bound, data)
     cfg = cfg or McSASConfig()
     if mesh is not None:
         from .parallel import ShardedEnsemble

@@ -46,6 +46,7 @@ reference worries about the same drift in float64, mcsas.py:365-366).
 """
 from __future__ import annotations
 
+import contextlib
 import logging
 import time
 from dataclasses import dataclass
@@ -127,9 +128,31 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
     def weight_norm(pvec):
         return (bound.volume(pvec) / v_ref) ** (2.0 * comp_exp)
 
+    # second normalization: the form factor itself can carry huge constant
+    # factors (core-shell SLD differences are ~1e14 SI, squaring to ~1e28),
+    # which overflow float32 χ² reductions just as SI weights underflow
+    # them.  A one-time float64 probe at a mid-range parameter point sets a
+    # static scale so device-side rows stay O(1); the fitted scale absorbs
+    # it exactly (converted back to SI in EngineResult.scaling).
+    mids = np.asarray([np.sqrt(max(lo, 1e-300) * hi) if hi > 0 else lo
+                       for lo, hi in bound.ranges], np.float64)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu) if cpu else contextlib.nullcontext():
+        probe_grid = np.asarray(data.locs if smearing else data.q,
+                                np.float64)
+        ffp = np.asarray(bound.ff(jnp.asarray(probe_grid), mids))
+        probe = np.abs(ffp * ffp)
+    i_ref = float(np.nanmax(probe))
+    if not np.isfinite(i_ref) or i_ref <= 0.0:
+        i_ref = 1.0
+    inv_i_ref = 1.0 / i_ref
+
     def intensity_row(grid, pvec):
         ffv = bound.ff(grid, pvec)
-        w = weight_norm(pvec)
+        w = weight_norm(pvec) * inv_i_ref
         if smearing:
             return (ffv * ffv) @ smear_w * w
         return ffv * ffv * w
@@ -137,7 +160,8 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
     def props_row(pvec):
         return (weight_norm(pvec), bound.absvolume(pvec), bound.surf(pvec))
 
-    return intensity_row, props_row, full_grid, v_ref ** (2.0 * comp_exp)
+    return (intensity_row, props_row, full_grid,
+            v_ref ** (2.0 * comp_exp) * i_ref)
 
 
 class McSASEngine:
@@ -151,6 +175,12 @@ class McSASEngine:
                  sharding=None):
         if data.count < 1:
             raise ValueError("no data points on the fit grid")
+        for name, (lo, hi) in zip(bound.active, bound.ranges):
+            if not (np.isfinite(lo) and np.isfinite(hi)):
+                raise ValueError(
+                    f"active range of {name!r} is not finite ({lo}, {hi}); "
+                    "set active_ranges when binding the model (fit() "
+                    "defaults unbounded ranges to the data size estimate)")
         self.data = data
         self.bound = bound
         self.cfg = cfg
@@ -183,22 +213,25 @@ class McSASEngine:
 
         # single-launch driver: a device-side while_loop over chunks runs
         # one whole attempt without any host round trip (the remote-attach
-        # RTT per launch is material); used when no stop/progress callback
-        # needs the chunk boundary
-        crit = float(cfg.convergence_criterion)
+        # RTT per launch is material).  Only wraps the Pallas chunk — the
+        # XLA scan chunk inside a while_loop blows up compile time for
+        # quadrature-heavy model bodies.
+        self._drive = None
+        if self.uses_pallas:
+            crit = float(cfg.convergence_criterion)
 
-        def drive(state, ri):
-            def running(carry):
-                s, _ = carry
-                return jnp.any((s.conval > crit)
-                               & (s.n_iter < cfg.max_iterations))
+            def drive(state, ri):
+                def running(carry):
+                    s, _ = carry
+                    return jnp.any((s.conval > crit)
+                                   & (s.n_iter < cfg.max_iterations))
 
-            def body(carry):
-                return self._chunk_batch(*carry)
+                def body(carry):
+                    return self._chunk_batch(*carry)
 
-            return jax.lax.while_loop(running, body, (state, ri))
+                return jax.lax.while_loop(running, body, (state, ri))
 
-        self._drive = jax.jit(drive)
+            self._drive = jax.jit(drive)
 
     def _pallas_eligible(self) -> bool:
         mode = getattr(self.cfg, "use_pallas", "off")
@@ -367,14 +400,29 @@ class McSASEngine:
 
         # without cooperative-abort/progress hooks, the whole attempt runs
         # as ONE device launch (while_loop over chunks) — no per-chunk RTT
-        step_fn = (self._drive if stop is None and progress is None
+        step_fn = (self._drive
+                   if (self._drive is not None and stop is None
+                       and progress is None)
                    else self._chunk_batch)
+        prev_iter = None
         while True:
             state, ri = step_fn(state, ri)
             conval = np.asarray(state.conval, dtype=np.float64)
             n_iter = np.asarray(state.n_iter, dtype=np.int64)
+            # non-finite χ² (e.g. unbounded parameter ranges → inf
+            # proposals) or a stalled counter can never converge: treat as
+            # an exhausted attempt so the retry/abort budget applies
+            # instead of looping forever
+            stuck = ~np.isfinite(conval)
+            if prev_iter is not None:
+                stuck |= n_iter == prev_iter
+            prev_iter = n_iter.copy()
+            if stuck.any():
+                log.warning("%d repetition(s) made no progress "
+                            "(non-finite chi2 or stalled proposals)",
+                            int(stuck.sum()))
             converged = conval <= cfg.convergence_criterion
-            exhausted = n_iter >= cfg.max_iterations
+            exhausted = (n_iter >= cfg.max_iterations) | stuck
             running = ~converged & ~exhausted
             if progress is not None:
                 progress(dict(conval=conval, n_iter=n_iter,

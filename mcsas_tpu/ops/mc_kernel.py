@@ -85,6 +85,9 @@ def build_chunk_fn(engine, interpret=None):
     assert nq % _LANE == 0, "grid must be lane-padded for the pallas path"
     comp2 = 2.0 * cfg.compensation_exponent
     v_ref = bound.reference_volume()
+    # engine.w_ref = v_ref^2c · i_ref → recover the ff-magnitude norm so
+    # kernel rows match the XLA intensity_row exactly
+    inv_i_ref = (v_ref ** comp2) / engine.w_ref
     crit = float(cfg.convergence_criterion)
     max_iter = int(cfg.max_iterations)
     chunk = int(cfg.chunk_steps)
@@ -150,8 +153,8 @@ def build_chunk_fn(engine, interpret=None):
             vol = bound.model.volume(pdict)
             if not hasattr(vol, "ndim") or vol.ndim == 0:
                 vol = jnp.full((n_reps, k_cand, 1), vol, jnp.float32)
-            w = (vol / v_ref) ** comp2                 # (R, K, 1)
-            rows = ffv * ffv * w
+            w = (vol / v_ref) ** comp2 * jnp.float32(inv_i_ref)
+            rows = ffv * ffv * w                       # (R, K, nq)
 
             # ---- incremental totals and closed-form solve per candidate
             old_row = ibank_ref[:, pl.ds(ri, 1), :]    # (R, 1, nq)
