@@ -1,0 +1,113 @@
+# -*- coding: utf-8 -*-
+"""Statistical parity with the reference algorithm.
+
+A compact, independent numpy implementation of the reference MC semantics
+(sequential cursor, one proposal per iteration, accept iff the re-fitted
+reduced χ² improves — mcsas/mcsas.py:354-404) is run against the engine on
+the same problem.  RNG streams differ, so parity is distributional: the
+rep-averaged volume-weighted histograms must agree within the reference's
+own regression tolerance style (mcsas_test.py:105-116 uses 0.2 on
+histogram bars)."""
+import math
+
+import numpy as np
+import pytest
+
+from mcsas_tpu import data
+from mcsas_tpu.config import McSASConfig
+from mcsas_tpu.core.engine import McSASEngine
+from mcsas_tpu.models import get_model
+from mcsas_tpu.post.histogram import HistogramSpec, histogram_all
+
+PI43 = 4 * math.pi / 3
+CRIT = 2.0          # loose criterion so the small budget converges
+N_CONTRIBS = 50
+MAX_ITER = 60000
+R_LO, R_HI = 2e-9, 60e-9
+N_REPS = 3
+BINS = 12
+
+
+def sphere_row(q, r, comp2):
+    x = q * r
+    ff = 3.0 * (np.sin(x) - x * np.cos(x)) / x ** 3
+    return ff * ff * (PI43 * r ** 3) ** comp2
+
+
+def solve_np(x, y, u):
+    """Closed-form weighted LS (proven == scipy LM in test_fitcore)."""
+    s_u, s_uy = u.sum(), (u * y).sum()
+    s_x, s_xx, s_xy = (u * x).sum(), (u * x * x).sum(), (u * x * y).sum()
+    det = s_u * s_xx - s_x * s_x
+    a = (s_u * s_xy - s_x * s_uy) / det
+    b = (s_uy - a * s_x) / s_u
+    r = y - a * x - b
+    return a, b, (u * r * r).sum() / len(y)
+
+
+def reference_style_mcfit(d, rng, comp2):
+    """The reference hot loop, straight numpy (no jax), normalized rows."""
+    q, y = d.q, d.f
+    sigma = d.fu.copy()
+    sigma[sigma == 0] = 1.0
+    u = 1.0 / sigma ** 2
+    norm = sphere_row(q, math.sqrt(R_LO * R_HI), comp2).max()
+    rset = rng.uniform(R_LO, R_HI, N_CONTRIBS)
+    bank = np.stack([sphere_row(q, r, comp2) / norm for r in rset])
+    ft = bank.sum(axis=0)
+    _, _, conval = solve_np(ft, y, u)
+    ri = 0
+    for it in range(MAX_ITER):
+        if conval <= CRIT:
+            break
+        rt = rng.uniform(R_LO, R_HI)
+        row = sphere_row(q, rt, comp2) / norm
+        ft_test = ft - bank[ri] + row
+        _, _, convalt = solve_np(ft_test, y, u)
+        if convalt < conval:
+            rset[ri], bank[ri], ft, conval = rt, row, ft_test, convalt
+        ri = (ri + 1) % N_CONTRIBS
+    return rset, conval
+
+
+@pytest.mark.parametrize("dataset", ["sasfit_sphere-10-1.dat"])
+def test_distribution_parity(refdata, dataset):
+    d = data.load(refdata / dataset)
+    comp2 = 2 * 0.6666666
+
+    # --- reference-style numpy runs ------------------------------------
+    rng = np.random.default_rng(123)
+    ref_sets, ref_conv = [], []
+    for _ in range(N_REPS):
+        rset, conval = reference_style_mcfit(d, rng, comp2)
+        ref_sets.append(rset)
+        ref_conv.append(conval)
+    assert max(ref_conv) <= CRIT, "numpy reference failed to converge"
+
+    # --- engine runs -----------------------------------------------------
+    bound = get_model("Sphere").bind(active_ranges={"radius": (R_LO, R_HI)})
+    cfg = McSASConfig(num_contribs=N_CONTRIBS, num_reps=N_REPS,
+                      max_iterations=MAX_ITER, chunk_steps=2000,
+                      candidates_per_step=1, seed=77, max_retries=1,
+                      convergence_criterion=CRIT)
+    eng = McSASEngine(d, bound, cfg)
+    res = eng.run()
+    assert res.converged.all()
+
+    # --- compare volume-weighted histograms ----------------------------
+    spec = HistogramSpec("radius", R_LO, R_HI, bin_count=BINS,
+                         auto_follow=False).resolved(bound)
+    _, hists_eng = histogram_all(res.contribs, d, bound, cfg, [spec])
+    y_eng = hists_eng[0].bins.mean
+
+    ref_contribs = np.stack(ref_sets)[:, :, None]     # (R, N, 1)
+    _, hists_ref = histogram_all(ref_contribs, d, bound, cfg, [spec])
+    y_ref = hists_ref[0].bins.mean
+
+    # normalize both to unit total volume fraction, compare bar heights
+    y_eng = y_eng / y_eng.sum()
+    y_ref = y_ref / y_ref.sum()
+    # reference regression tolerance style: 0.2 absolute on normalized bars
+    np.testing.assert_allclose(y_eng, y_ref, atol=0.2)
+    # the dominant bin must agree
+    assert abs(int(np.argmax(y_eng)) - int(np.argmax(y_ref))) <= 1
