@@ -34,6 +34,60 @@ def find_dataset():
     sys.exit(1)
 
 
+def suite():
+    """Extended benchmark over the BASELINE.json config families; one JSON
+    line per config (not part of the driver's single-line contract — run
+    manually with `python bench.py --suite`)."""
+    import jax
+    import mcsas_tpu as mt
+    from mcsas_tpu.config import McSASConfig
+    from mcsas_tpu.models import get_model
+
+    ref = "/root/reference/testdata"
+    refm = "/root/reference/src/mcsas/models/testData"
+    configs = [
+        ("sphere", f"{ref}/sasfit_sphere-10-1.dat", "Sphere", None, None,
+         1.0),
+        ("gaussian-chain", f"{ref}/sasfit_gauss2-5-1.5-2-1.dat",
+         "GaussianChain", None, None, 1.0),
+        ("kholodenko-worm", f"{ref}/sasfit_kho-1-10-1000.dat",
+         "Kholodenko", None, None, 1.0),
+        ("cylinders-isotropic", f"{ref}/sasfit_sphere-10-1.dat",
+         "CylindersIsotropic", ("radius",), None, 2.0),
+        ("core-shell-sphere",
+         f"{refm}/SphCoreShell_R100_dR150_c3p16_s2p53.csv",
+         "SphericalCoreShell", ("radius", "t"), None, 2.0),
+        ("lma-dense-sphere", f"{ref}/sasfit_sphere-10-1.dat",
+         "LMADenseSphere", ("radius", "volFrac"), None, 2.0),
+    ]
+    for name, path, model, active, ranges, crit in configs:
+        if not os.path.exists(path):
+            continue
+        data = mt.load(path)
+        bound = get_model(model).bind(active=active, active_ranges=ranges)
+        cfg = McSASConfig(num_contribs=300, num_reps=10,
+                          max_iterations=4_000_000, chunk_steps=1024,
+                          candidates_per_step=64, seed=2026, max_retries=1,
+                          convergence_criterion=crit,
+                          show_incomplete=True)
+        t0 = time.perf_counter()
+        res = mt.fit(data, model=bound, cfg=cfg)
+        wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = mt.fit(data, model=bound, cfg=cfg)   # warm repeat
+        warm = time.perf_counter() - t0
+        print(json.dumps({
+            "config": name, "model": model, "chi2_target": crit,
+            "seconds_warm": round(warm, 3),
+            "seconds_cold": round(wall, 3),
+            "max_chi2": round(float(res.engine.conval.max()), 3),
+            "converged_reps": int(res.engine.converged.sum()),
+            "proposals_per_sec": round(res.engine.iters_per_sec),
+            "pallas": bool(getattr(res, "engine", None)
+                           and res.bound.model.elementwise_q),
+        }), flush=True)
+
+
 def main():
     import jax
     import mcsas_tpu as mt
@@ -80,4 +134,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--suite" in sys.argv:
+        suite()
+    else:
+        main()

@@ -143,9 +143,10 @@ class FractionsResult:
 
 # ------------------------------------------------------------ computation
 
-def _bank_f64(bound: BoundModel, data: SASData, cfg: McSASConfig,
-              rset: np.ndarray):
-    """(N, Nq) SI intensity bank + per-contribution properties, float64."""
+def _banks_f64(bound: BoundModel, data: SASData, cfg: McSASConfig,
+               contribs: np.ndarray):
+    """(R, N, Nq) SI intensity banks + per-contribution properties for the
+    whole ensemble in one batched float64 evaluation."""
     comp_exp = cfg.compensation_exponent
     smearing = data.uses_smearing and bound.model.can_smear
     grid = data.locs if smearing else data.q
@@ -154,17 +155,16 @@ def _bank_f64(bound: BoundModel, data: SASData, cfg: McSASConfig,
         ffv = bound.ff(jnp.asarray(grid), pvec)
         w = bound.volume(pvec) ** (2.0 * comp_exp)
         if smearing:
-            return (ffv * ffv) @ jnp.asarray(data.smear_w) * w
-        return ffv * ffv * w
-
-    def props(pvec):
-        return (bound.absvolume(pvec), bound.surf(pvec))
+            it = (ffv * ffv) @ jnp.asarray(data.smear_w) * w
+        else:
+            it = ffv * ffv * w
+        return it, w, bound.absvolume(pvec), bound.surf(pvec)
 
     with jax.default_device(_cpu_device()):
-        bank = np.asarray(jax.jit(jax.vmap(row))(
-            jnp.asarray(rset, jnp.float64)))
-        vset, sset = jax.jit(jax.vmap(props))(jnp.asarray(rset, jnp.float64))
-    return bank, np.asarray(vset, np.float64), np.asarray(sset, np.float64)
+        bank, wset, vset, sset = jax.jit(jax.vmap(jax.vmap(row)))(
+            jnp.asarray(contribs, jnp.float64))
+    return (np.asarray(bank, np.float64), np.asarray(wset, np.float64),
+            np.asarray(vset, np.float64), np.asarray(sset, np.float64))
 
 
 def compute_fractions(contribs: np.ndarray, data: SASData,
@@ -182,12 +182,11 @@ def compute_fractions(contribs: np.ndarray, data: SASData,
     sigma = np.asarray(data.fu, np.float64)
     with jax.default_device(_cpu_device()):
         consts = make_constants(data.f, data.fu, jnp.float64)
+    banks, wsets, vsets, ssets = _banks_f64(bound, data, cfg, contribs)
 
     for ri in range(n_reps):
-        rset = contribs[ri]
-        bank, vset, sset = _bank_f64(bound, data, cfg, rset)
-        wset = np.array([bound.volume(r.astype(np.float64))
-                         for r in rset]) ** (2 * cfg.compensation_exponent)
+        bank, wset = banks[ri], wsets[ri]
+        vset, sset = vsets[ri], ssets[ri]
         ft = bank.sum(axis=0)
         # normalize before solving: SI-scale intensities (~1e-30) underflow
         # float32 reductions, and the TPU backend silently truncates f64 —
