@@ -45,30 +45,33 @@ def suite():
 
     ref = "/root/reference/testdata"
     refm = "/root/reference/src/mcsas/models/testData"
+    # (name, path, model, active, chi2 target, K, proposal budget):
+    # quadrature-heavy kernels (Kholodenko's 2k-point Gauss-Legendre,
+    # cylinder orientation integrals) get smaller K and budgets
     configs = [
-        ("sphere", f"{ref}/sasfit_sphere-10-1.dat", "Sphere", None, None,
-         1.0),
+        ("sphere", f"{ref}/sasfit_sphere-10-1.dat", "Sphere", None,
+         1.0, 128, 8_000_000),
         ("gaussian-chain", f"{ref}/sasfit_gauss2-5-1.5-2-1.dat",
-         "GaussianChain", None, None, 1.0),
+         "GaussianChain", None, 1.0, 64, 4_000_000),
         ("kholodenko-worm", f"{ref}/sasfit_kho-1-10-1000.dat",
-         "Kholodenko", None, None, 1.0),
+         "Kholodenko", None, 2.0, 8, 120_000),
         ("cylinders-isotropic", f"{ref}/sasfit_sphere-10-1.dat",
-         "CylindersIsotropic", ("radius",), None, 2.0),
+         "CylindersIsotropic", ("radius",), 2.0, 32, 1_000_000),
         ("core-shell-sphere",
          f"{refm}/SphCoreShell_R100_dR150_c3p16_s2p53.csv",
-         "SphericalCoreShell", ("radius", "t"), None, 2.0),
+         "SphericalCoreShell", ("radius", "t"), 2.0, 64, 2_000_000),
         ("lma-dense-sphere", f"{ref}/sasfit_sphere-10-1.dat",
-         "LMADenseSphere", ("radius", "volFrac"), None, 2.0),
+         "LMADenseSphere", ("radius", "volFrac"), 2.0, 64, 2_000_000),
     ]
-    for name, path, model, active, ranges, crit in configs:
+    for name, path, model, active, crit, k_cand, budget in configs:
         if not os.path.exists(path):
             continue
         data = mt.load(path)
-        bound = get_model(model).bind(active=active, active_ranges=ranges)
+        bound = get_model(model).bind(active=active)
         cfg = McSASConfig(num_contribs=300, num_reps=10,
-                          max_iterations=4_000_000, chunk_steps=1024,
-                          candidates_per_step=64, seed=2026, max_retries=1,
-                          convergence_criterion=crit,
+                          max_iterations=budget, chunk_steps=1024,
+                          candidates_per_step=k_cand, seed=2026,
+                          max_retries=1, convergence_criterion=crit,
                           show_incomplete=True)
         t0 = time.perf_counter()
         res = mt.fit(data, model=bound, cfg=cfg)

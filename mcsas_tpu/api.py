@@ -17,7 +17,6 @@ from __future__ import annotations
 import configparser
 import dataclasses
 import datetime as _dt
-import json
 import logging
 import os
 import pickle
@@ -395,7 +394,11 @@ def run_files(filenames: Sequence, model=None, cfg: Optional[McSASConfig]
                 series.setdefault(key, []).append(
                     (d.title, h.moments.fields))
     if cfg.series_stats and series:
-        write_series_stats(series, out_dir or ".")
+        fn = write_series_stats(series, out_dir or ".")
+        if plot:
+            from .plotting import plot_series_stats
+            plot_series_stats(series, output_filename=str(fn).replace(
+                ".dat", ".pdf"))
     return results
 
 

@@ -107,14 +107,13 @@ class EngineResult:
 
 def make_intensity_kernels(bound: BoundModel, data: SASData,
                            cfg: McSASConfig, dtype):
-    """Builds (intensity_row, props_row) pure kernels for the fit grid.
+    """Builds the intensity-row kernel for the fit grid.
 
-    intensity_row(grid, pvec) -> (Nq,): F²·(w/w_ref), optionally smeared via
-    the precomputed contraction (reference smearing path:
+    intensity_row(grid, pvec) -> (Nq,): F²·(w/w_ref)/i_ref, optionally
+    smeared via the precomputed contraction (reference smearing path:
     src/mcsas/bases/model/sasmodel.py:46-79).  The grid is an explicit
     argument so a shard_map caller can pass the q-axis shard local to each
     device.
-    props_row(pvec) -> (w_norm, v_abs, surface).
     """
     comp_exp = cfg.compensation_exponent
     v_ref = bound.reference_volume()
@@ -143,7 +142,9 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
     with jax.default_device(cpu) if cpu else contextlib.nullcontext():
         probe_grid = np.asarray(data.locs if smearing else data.q,
                                 np.float64)
-        ffp = np.asarray(bound.ff(jnp.asarray(probe_grid), mids))
+        # one jitted call: eager evaluation would remote-compile every op
+        ffp = np.asarray(jax.jit(bound.ff)(jnp.asarray(probe_grid),
+                                           jnp.asarray(mids)))
         probe = np.abs(ffp * ffp)
     i_ref = float(np.nanmax(probe))
     if not np.isfinite(i_ref) or i_ref <= 0.0:
@@ -157,11 +158,7 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
             return (ffv * ffv) @ smear_w * w
         return ffv * ffv * w
 
-    def props_row(pvec):
-        return (weight_norm(pvec), bound.absvolume(pvec), bound.surf(pvec))
-
-    return (intensity_row, props_row, full_grid,
-            v_ref ** (2.0 * comp_exp) * i_ref)
+    return (intensity_row, full_grid, v_ref ** (2.0 * comp_exp) * i_ref)
 
 
 class McSASEngine:
@@ -189,7 +186,7 @@ class McSASEngine:
         self.n_contribs = cfg.num_contribs
         self.consts: FitConstants = make_constants(data.f, data.fu,
                                                    self.dtype)
-        (self._intensity_row, self._props_row, self.grid,
+        (self._intensity_row, self.grid,
          self.w_ref) = make_intensity_kernels(bound, data, cfg, self.dtype)
 
         self.uses_pallas = self._pallas_eligible()

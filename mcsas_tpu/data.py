@@ -24,7 +24,7 @@ from typing import Optional
 
 import numpy as np
 
-from .utils.units import (Angle, Length, ScatteringIntensity,
+from .utils.units import (Angle, ScatteringIntensity,
                           ScatteringVector, Unit)
 
 log = logging.getLogger(__name__)

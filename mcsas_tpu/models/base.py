@@ -17,7 +17,7 @@ their sampling ranges, turning parameter *vectors* into kernel inputs.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from typing import Callable, Optional, Tuple
 
 import numpy as np

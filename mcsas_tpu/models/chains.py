@@ -24,7 +24,10 @@ def _gauss_debye_over_u(u):
     thr = 0.3 if u.dtype == jnp.float32 else 1e-3
     small = jnp.abs(u) < thr
     us = jnp.where(small, jnp.ones_like(u), u)
-    closed = jnp.sqrt(2.0 * (jnp.expm1(-us) + us)) / us
+    # exp(-u)-1+u instead of expm1(-u)+u: the cancellation-prone small-u
+    # regime is handled by the series branch, and Mosaic (Pallas TPU)
+    # has no expm1 lowering
+    closed = jnp.sqrt(2.0 * (jnp.exp(-us) - 1.0 + us)) / us
     # 2(expm1(−u)+u)/u² = 1 − u/3 + u²/12 − u³/60 + u⁴/360 …
     series = jnp.sqrt(1.0 + u * (-1.0 / 3.0 + u * (
         1.0 / 12.0 + u * (-1.0 / 60.0 + u / 360.0))))

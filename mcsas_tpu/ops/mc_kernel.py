@@ -20,7 +20,6 @@ bank 1.5 MB + parameters 1.5 MB + (R, K, Nq) temporaries ≈ 5 MB ≪ 16 MB.
 """
 from __future__ import annotations
 
-import functools
 import logging
 
 import jax

@@ -45,20 +45,9 @@ class ShardedEnsemble(McSASEngine):
         super().__init__(data, bound, cfg)
         self.sharding = None  # parent device_put hook unused
 
-        n_q = self.mesh.shape["q"]
-        nq = int(self.grid.shape[0])
-        pad = (-nq) % n_q
-        if pad:
-            # zero-weight padding points: invisible to every reduction
-            # (u = 0), bank rows just carry extra lanes
-            grid_pad = jnp.repeat(self.grid[-1:], pad, axis=0)
-            self.grid = jnp.concatenate([self.grid, grid_pad], axis=0)
-            c = self.consts
-            zeros = jnp.zeros((pad,), c.y.dtype)
-            self.consts = FitConstants(
-                y=jnp.concatenate([c.y, zeros]),
-                u=jnp.concatenate([c.u, zeros]),
-                s_u=c.s_u, s_uy=c.s_uy, n=c.n)
+        # zero-weight padding points make the q length divisible by the
+        # q-axis size (invisible to every reduction: u = 0)
+        self._pad_fit_grid(self.mesh.shape["q"])
 
         mesh = self.mesh
         specs = _state_specs()

@@ -12,7 +12,7 @@ hashable and jit-friendly.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 class UnitError(ValueError):
