@@ -54,14 +54,16 @@ def suite():
         ("gaussian-chain", f"{ref}/sasfit_gauss2-5-1.5-2-1.dat",
          "GaussianChain", None, 1.0, 64, 4_000_000),
         ("kholodenko-worm", f"{ref}/sasfit_kho-1-10-1000.dat",
-         "Kholodenko", None, 2.0, 8, 120_000),
+         "Kholodenko", None, 4.0, 8, 120_000),
+        # cylinders on sphere data is a throughput benchmark (the model
+        # family mismatches the data, χ²→target is not expected)
         ("cylinders-isotropic", f"{ref}/sasfit_sphere-10-1.dat",
-         "CylindersIsotropic", ("radius",), 2.0, 32, 1_000_000),
+         "CylindersIsotropic", ("radius",), 2.0, 32, 300_000),
         ("core-shell-sphere",
          f"{refm}/SphCoreShell_R100_dR150_c3p16_s2p53.csv",
-         "SphericalCoreShell", ("radius", "t"), 2.0, 64, 2_000_000),
+         "SphericalCoreShell", ("radius", "t"), 2.0, 64, 16_000_000),
         ("lma-dense-sphere", f"{ref}/sasfit_sphere-10-1.dat",
-         "LMADenseSphere", ("radius", "volFrac"), 2.0, 64, 2_000_000),
+         "LMADenseSphere", ("radius", "volFrac"), 2.0, 64, 8_000_000),
     ]
     for name, path, model, active, crit, k_cand, budget in configs:
         if not os.path.exists(path):

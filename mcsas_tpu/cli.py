@@ -43,6 +43,32 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="PARAM=LO:HI",
                    help="active range override in display units, "
                         "repeatable")
+    # data-settings page equivalents (reference gui datawidget/rangelist)
+    p.add_argument("--qmin", type=float, default=None,
+                   help="lower q limit in nm⁻¹")
+    p.add_argument("--qmax", type=float, default=None,
+                   help="upper q limit in nm⁻¹")
+    p.add_argument("--nbin", type=int, default=None,
+                   help="number of log-spaced data bins (0 disables)")
+    p.add_argument("--fu-min", type=float, default=None,
+                   help="minimum uncertainty as a fraction of I "
+                        "(default 0.01)")
+    p.add_argument("--mask-neg", action="store_true",
+                   help="drop I<0 points")
+    p.add_argument("--mask-zero", action="store_true",
+                   help="drop I==0 points")
+    p.add_argument("--smear-trapezoid", metavar="UMBRA:PENUMBRA",
+                   default=None,
+                   help="slit smearing with a trapezoidal beam profile "
+                        "(widths in nm⁻¹)")
+    p.add_argument("--smear-gaussian", metavar="SIGMA", type=float,
+                   default=None,
+                   help="smearing with a Gaussian beam profile (nm⁻¹)")
+    p.add_argument("--smear-steps", type=int, default=25,
+                   help="smearing integration points (default 25)")
+    p.add_argument("--smear-2d", action="store_true",
+                   help="2D-averaged (pinhole) data instead of "
+                        "slit-smeared")
     p.add_argument("--plot", action="store_true",
                    help="write a result plot PDF")
     p.add_argument("--rehistogram", action="store_true",

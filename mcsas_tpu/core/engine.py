@@ -406,19 +406,20 @@ class McSASEngine:
             state, ri = step_fn(state, ri)
             conval = np.asarray(state.conval, dtype=np.float64)
             n_iter = np.asarray(state.n_iter, dtype=np.int64)
+            converged = conval <= cfg.convergence_criterion
             # non-finite χ² (e.g. unbounded parameter ranges → inf
             # proposals) or a stalled counter can never converge: treat as
             # an exhausted attempt so the retry/abort budget applies
-            # instead of looping forever
+            # instead of looping forever (converged reps freeze their
+            # counter legitimately and are excluded)
             stuck = ~np.isfinite(conval)
             if prev_iter is not None:
-                stuck |= n_iter == prev_iter
+                stuck |= (n_iter == prev_iter) & ~converged
             prev_iter = n_iter.copy()
             if stuck.any():
                 log.warning("%d repetition(s) made no progress "
                             "(non-finite chi2 or stalled proposals)",
                             int(stuck.sum()))
-            converged = conval <= cfg.convergence_criterion
             exhausted = (n_iter >= cfg.max_iterations) | stuck
             running = ~converged & ~exhausted
             if progress is not None:
