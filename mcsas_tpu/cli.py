@@ -149,6 +149,8 @@ def main(argv=None) -> int:
     if args.rehistogram:
         return _rehistogram(args)
 
+    data_config = _build_data_config(args)
+
     from .api import run_files
     from .post.histogram import HistogramSpec
     specs = None
@@ -157,7 +159,7 @@ def main(argv=None) -> int:
                                yweight=args.weight)
                  for p in bound.active]
     results = run_files(args.filenames, model=bound, cfg=cfg,
-                        histograms=specs,
+                        histograms=specs, data_config=data_config,
                         out_dir=args.outdir, plot=args.plot)
     failures = sum(0 if r.converged else 1 for r in results)
     for r in results:
@@ -165,6 +167,37 @@ def main(argv=None) -> int:
         print(f"{r.data.title}: chi2={r.engine.conval.round(3).tolist()} "
               f"[{status}], {r.engine.iters_per_sec:,.0f} proposals/s")
     return 1 if failures else 0
+
+
+def _build_data_config(args):
+    """Maps CLI data-settings flags to a DataConfig (None → defaults)."""
+    from .data import DataConfig, GaussianSmearing, TrapezoidSmearing
+    kw = {}
+    if args.qmin is not None:
+        kw["x0_low"] = args.qmin * 1e9
+    if args.qmax is not None:
+        kw["x0_high"] = args.qmax * 1e9
+    if args.nbin is not None:
+        kw["n_bin"] = args.nbin
+    if args.fu_min is not None:
+        kw["fu_min"] = args.fu_min
+    if args.mask_neg:
+        kw["f_mask_neg"] = True
+    if args.mask_zero:
+        kw["f_mask_zero"] = True
+    if args.smear_trapezoid:
+        umbra, penumbra = (float(v) for v in
+                           args.smear_trapezoid.split(":"))
+        kw["smearing"] = TrapezoidSmearing(
+            do_smear=True, n_steps=args.smear_steps,
+            two_d_coll=args.smear_2d,
+            umbra=umbra * 1e9, penumbra=penumbra * 1e9)
+    elif args.smear_gaussian is not None:
+        kw["smearing"] = GaussianSmearing(
+            do_smear=True, n_steps=args.smear_steps,
+            two_d_coll=args.smear_2d,
+            variance=args.smear_gaussian * 1e9)
+    return DataConfig(**kw) if kw else None
 
 
 def _rehistogram(args) -> int:

@@ -139,6 +139,7 @@ class FractionsResult:
     scaling: np.ndarray                  # (2, R) [A; b] SI
     volumes: np.ndarray                  # (N, R) absolute volumes
     surfaces: np.ndarray                 # (N, R)
+    agofs: np.ndarray                    # (R,) Henn-2016 goodness of fit
 
 
 # ------------------------------------------------------------ computation
@@ -179,6 +180,7 @@ def compute_fractions(contribs: np.ndarray, data: SASData,
     scaling = np.zeros((2, n_reps))
     volumes = np.zeros((n, n_reps))
     surfaces = np.zeros((n, n_reps))
+    agofs = np.zeros(n_reps)
     sigma = np.asarray(data.fu, np.float64)
     with jax.default_device(_cpu_device()):
         consts = make_constants(data.f, data.fu, jnp.float64)
@@ -198,6 +200,12 @@ def compute_fractions(contribs: np.ndarray, data: SASData,
                                  cfg.positive_background)
         a, b = float(sol.scale) / ft_norm, float(sol.background)
         scaling[:, ri] = (a, b)
+        # alternative goodness-of-fit [Henn 2016] with the 1/alpha factor
+        # (reference: backgroundscalingfit.py:79-84,136-138)
+        resid = np.asarray(data.f) - (a * ft + b)
+        n_pts = len(resid)
+        agofs[ri] = ((resid ** 2).sum() / (sigma ** 2).sum()
+                     * n_pts / max(n_pts - contribs.shape[2], 1))
         volumes[:, ri] = vset
         surfaces[:, ri] = sset
 
@@ -237,7 +245,7 @@ def compute_fractions(contribs: np.ndarray, data: SASData,
 
     return FractionsResult(fraction=frac, min_req=minr, total=total,
                            scaling=scaling, volumes=volumes,
-                           surfaces=surfaces)
+                           surfaces=surfaces, agofs=agofs)
 
 
 def _edges(spec: HistogramSpec) -> np.ndarray:
