@@ -65,8 +65,11 @@ def suite():
         ("core-shell-sphere",
          f"{refm}/SphCoreShell_R100_dR150_c3p16_s2p53.csv",
          "SphericalCoreShell", ("radius", "t"), 10.0, 128, 40_000_000),
+        # LMA on dilute-sphere data is likewise a throughput benchmark:
+        # converging requires every slot to land jointly in (r≈10 nm,
+        # φ→0) — the structure factor penalizes any appreciable φ
         ("lma-dense-sphere", f"{ref}/sasfit_sphere-10-1.dat",
-         "LMADenseSphere", ("radius", "volFrac"), 10.0, 128, 20_000_000),
+         "LMADenseSphere", ("radius", "volFrac"), 10.0, 128, 4_000_000),
     ]
     for name, path, model, active, crit, k_cand, budget in configs:
         if not os.path.exists(path):
