@@ -59,18 +59,15 @@ def suite():
         # family mismatches the data, χ²→target is not expected)
         ("cylinders-isotropic", f"{ref}/sasfit_sphere-10-1.dat",
          "CylindersIsotropic", ("radius",), 2.0, 32, 300_000),
-        # joint 2-parameter populations converge slowly (the improving
-        # region is a narrow 2D basin): χ² targets are set to what the
-        # budget reaches, not the reference's 1.0
+        # joint 2-parameter populations (narrow 2D improving basin) use
+        # the opt-in local-move proposals to reach the reference's χ²≤1
         ("core-shell-sphere",
          f"{refm}/SphCoreShell_R100_dR150_c3p16_s2p53.csv",
-         "SphericalCoreShell", ("radius", "t"), 10.0, 128, 40_000_000),
-        # LMA on dilute-sphere data is likewise a throughput benchmark:
-        # converging requires every slot to land jointly in (r≈10 nm,
-        # φ→0) — the structure factor penalizes any appreciable φ
+         "SphericalCoreShell", ("radius", "t"), 1.0, 128, 40_000_000),
         ("lma-dense-sphere", f"{ref}/sasfit_sphere-10-1.dat",
-         "LMADenseSphere", ("radius", "volFrac"), 10.0, 128, 4_000_000),
+         "LMADenseSphere", ("radius", "volFrac"), 2.0, 128, 20_000_000),
     ]
+    local = {"core-shell-sphere": 0.5, "lma-dense-sphere": 0.5}
     for name, path, model, active, crit, k_cand, budget in configs:
         if not os.path.exists(path):
             continue
@@ -80,6 +77,7 @@ def suite():
                           max_iterations=budget, chunk_steps=1024,
                           candidates_per_step=k_cand, seed=2026,
                           max_retries=1, convergence_criterion=crit,
+                          local_moves=local.get(name, 0.0),
                           show_incomplete=True)
         t0 = time.perf_counter()
         res = mt.fit(data, model=bound, cfg=cfg)
@@ -96,6 +94,7 @@ def suite():
             "proposals_per_sec": round(res.engine.iters_per_sec),
             "pallas": bool(getattr(res, "engine", None)
                            and res.bound.model.elementwise_q),
+            "local_moves": cfg.local_moves,
         }), flush=True)
 
 

@@ -151,8 +151,16 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
         i_ref = 1.0
     inv_i_ref = 1.0 / i_ref
 
+    # fit-grade form factor when the model provides one (e.g. Kholodenko's
+    # coarse quadrature): the float32 MC loop trades ~1e-3 kernel accuracy
+    # for several-fold throughput; all float64 analysis uses the full ff
+    model_ff = bound.model.ff
+    if (jnp.dtype(dtype) == jnp.float32
+            and bound.model.ff_fast is not None):
+        model_ff = bound.model.ff_fast
+
     def intensity_row(grid, pvec):
-        ffv = bound.ff(grid, pvec)
+        ffv = model_ff(grid, bound.pdict(pvec))
         w = weight_norm(pvec) * inv_i_ref
         if smearing:
             return (ffv * ffv) @ smear_w * w
@@ -301,7 +309,9 @@ class McSASEngine:
         """One accept/reject move of one repetition (reference hot loop
         mcsas.py:354-404).
 
-        *cands*: (K, P) pre-drawn proposals for this step's slot.
+        *cands*: (K, P) pre-drawn proposals for this step's slot; the last
+        ``k_local`` rows are UNIT uniforms turned into log-uniform
+        perturbations of the slot's current value here (local-move mode).
         *ri*: scalar contribution cursor (shared across reps).
         """
         grid = self.grid if grid is None else grid
@@ -310,6 +320,17 @@ class McSASEngine:
         k_cand = cfg.candidates_per_step
         crit = jnp.asarray(cfg.convergence_criterion, self.dtype)
         active = (state.conval > crit) & (state.n_iter < cfg.max_iterations)
+
+        k_local = self._k_local()
+        if k_local:
+            lo = jnp.asarray([r[0] for r in self.bound.ranges], self.dtype)
+            hi = jnp.asarray([r[1] for r in self.bound.ranges], self.dtype)
+            cur = state.rset[ri]                                  # (P,)
+            factor = jnp.exp((2.0 * cands[k_cand - k_local:] - 1.0)
+                             * cfg.local_scale)
+            local_c = jnp.clip(cur[None, :] * factor, lo, hi)
+            cands = jnp.concatenate([cands[:k_cand - k_local], local_c],
+                                    axis=0)
 
         i_cands = jax.vmap(
             lambda p: self._intensity_row(grid, p))(cands)       # (K, Nq)
@@ -337,16 +358,32 @@ class McSASEngine:
             n_iter=state.n_iter + k_cand * active.astype(jnp.int32),
             n_moves=state.n_moves + accept.astype(jnp.int32))
 
+    def _k_local(self) -> int:
+        """Number of candidates per step drawn as local moves (static)."""
+        return int(round(self.cfg.candidates_per_step
+                         * self.cfg.local_moves))
+
     def _draw_chunk_proposals(self, keys):
         """Pre-draws all proposals for one chunk in one batched RNG call:
-        (chunk, R, K, P) from per-rep keys."""
+        (chunk, R, K, P) from per-rep keys.  With local moves enabled the
+        last k_local candidate rows hold unit uniforms (transformed by the
+        step against the slot's current value)."""
         cfg = self.cfg
-        count = cfg.chunk_steps * cfg.candidates_per_step
+        k_local = self._k_local()
+        k_global = cfg.candidates_per_step - k_local
+        p = self.bound.n_active
 
         def per_rep(key):
-            return draw_params(key, self.bound, count=count,
-                               dtype=self.dtype).reshape(
-                cfg.chunk_steps, cfg.candidates_per_step, -1)
+            kg, kl = jax.random.split(key)
+            parts = []
+            if k_global:
+                parts.append(draw_params(
+                    kg, self.bound, count=cfg.chunk_steps * k_global,
+                    dtype=self.dtype).reshape(cfg.chunk_steps, k_global, p))
+            if k_local:
+                parts.append(jax.random.uniform(
+                    kl, (cfg.chunk_steps, k_local, p), dtype=self.dtype))
+            return jnp.concatenate(parts, axis=1)
         return jnp.swapaxes(jax.vmap(per_rep)(keys), 0, 1)
 
     def _run_chunk_batched(self, state: RepState, ri0, grid=None,
@@ -438,6 +475,7 @@ class McSASEngine:
                 state = self._reinit_merge(state, fresh,
                                            jnp.asarray(need_retry))
                 attempts[need_retry] += 1
+                prev_iter = None   # fresh attempt: counters restart
                 log.warning("%d repetition(s) did not converge within "
                             "max_iterations; retrying (attempt %d/%d)",
                             int(need_retry.sum()),

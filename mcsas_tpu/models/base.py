@@ -78,6 +78,9 @@ class SASModel:
     volume: Callable
     absvolume: Optional[Callable] = None
     surface: Callable = _zero_surface
+    # optional reduced-precision form factor for the float32 MC hot loop
+    # (e.g. a coarser quadrature); float64 analysis always uses ``ff``
+    ff_fast: Optional[Callable] = None
     can_smear: bool = False
     default_active: Tuple[str, ...] = ()
     doc: str = ""

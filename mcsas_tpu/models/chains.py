@@ -84,6 +84,9 @@ GaussianChain = SASModel(
 _Z_CUT = 40.0
 _HEAD_NODES, _HEAD_WEIGHTS = gauss_legendre(16, 128)  # 2048 points on [0,1]
 _TAIL_NODES, _TAIL_WEIGHTS = gauss_legendre(8, 8)     # 64 points on [0,1]
+# fit-grade rule (float32 MC hot loop): ~4x cheaper, relative error ~1e-3
+# in the most oscillatory regime — far below the measurement uncertainty
+_FAST_HEAD = gauss_legendre(16, 32)                   # 512 points
 
 
 def _kho_fz(z, t):
@@ -108,8 +111,10 @@ def _kho_fz(z, t):
     return jnp.where(z <= 0.0, jnp.ones_like(fz), fz)
 
 
-def _kho_p0_sq(q, kuhn, contour):
+def _kho_p0_sq(q, kuhn, contour, head=None):
     """∫₀ˣ f(z)·(2/x)(1−z/x) dz with x = 3·contour/kuhn."""
+    head_nodes, head_weights = head if head is not None else (
+        _HEAD_NODES, _HEAD_WEIGHTS)
     x = 3.0 * contour / kuhn
     t = q * kuhn / 3.0          # (Nq,)
     dtype = jnp.result_type(q, kuhn)
@@ -121,20 +126,31 @@ def _kho_p0_sq(q, kuhn, contour):
         core = _kho_fz(z, t[None, :]) * (2.0 / x) * (1.0 - z / x)
         return jnp.sum(w * core, axis=0)
 
-    total = integrate(_HEAD_NODES, _HEAD_WEIGHTS, 0.0, head_hi)
+    total = integrate(head_nodes, head_weights, 0.0, head_hi)
     tail = integrate(_TAIL_NODES, _TAIL_WEIGHTS, head_hi, x)
     total = total + jnp.where(x > _Z_CUT, tail, jnp.zeros_like(tail))
     return jnp.maximum(total, 0.0)
 
 
+def _kho_ff_impl(q, p, head=None):
+    shape = q.shape
+    qf = q.reshape(-1)
+    p0 = jnp.sqrt(_kho_p0_sq(qf, p["lenKuhn"], p["lenContour"], head))
+    pcs = 2.0 * j1_over_x(qf * p["radius"])
+    return (p0 * pcs).reshape(shape)
+
+
 def _kho_ff(q, p):
     """p0·pcs: worm backbone times circular cross-section
     (reference: models/kholodenko.py:81-90; non-squared like the original)."""
-    shape = q.shape
-    qf = q.reshape(-1)
-    p0 = jnp.sqrt(_kho_p0_sq(qf, p["lenKuhn"], p["lenContour"]))
-    pcs = 2.0 * j1_over_x(qf * p["radius"])
-    return (p0 * pcs).reshape(shape)
+    return _kho_ff_impl(q, p)
+
+
+def _kho_ff_fast(q, p):
+    """Fit-grade variant using the coarse head rule — ~4x cheaper, ~1e-3
+    relative error in the most oscillatory regime, far below the
+    measurement uncertainty the float32 MC loop fits against."""
+    return _kho_ff_impl(q, p, head=_FAST_HEAD)
 
 
 def _kho_volume(p):
@@ -156,6 +172,7 @@ Kholodenko = SASModel(
                   is_fit=True, display_name="contour length"),
     ),
     ff=_kho_ff,
+    ff_fast=_kho_ff_fast,
     volume=_kho_volume,
     default_active=("radius", "lenKuhn", "lenContour"),
 )

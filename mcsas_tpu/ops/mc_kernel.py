@@ -95,6 +95,9 @@ def build_chunk_fn(engine, interpret=None):
     n_fit = int(engine.consts.n)
     fixed = {name: float(v) for name, v in bound.fixed}
     generators = bound.generators
+    k_local = engine._k_local()
+    k_global = k_cand - k_local
+    local_scale = float(cfg.local_scale)
 
     def kernel(q_ref, y_ref, u_ref, sc_ref, ranges_ref, seed_ref, ri_ref,
                rset_in, ibank_in, ft_in, fstate_in, istate_in,
@@ -121,9 +124,13 @@ def build_chunk_fn(engine, interpret=None):
         kiota = jax.lax.broadcasted_iota(jnp.int32, (n_reps, k_cand), 1)
 
         def body(step, ri):
-            # ---- proposals: hardware PRNG, one (R, K) draw per parameter
+            # ---- proposals: hardware PRNG, one (R, K) draw per parameter;
+            # with local moves, candidate columns >= k_global perturb the
+            # slot's current value log-uniformly (clipped to the range)
             pdict = dict(fixed)
             cands = []
+            if k_local:
+                cur_block = rset_ref[:, pl.ds(ri, 1), :]   # (R, 1, P)
             for ip, name in enumerate(bound.active):
                 if interpret:
                     ibits = _hash_bits(seed_ref[0], step, ip,
@@ -135,15 +142,25 @@ def build_chunk_fn(engine, interpret=None):
                 # top 24 bits → [0, 1); Mosaic lacks uint32→f32 casts, so
                 # work in int32 with a logical shift before casting
                 u24 = jax.lax.shift_right_logical(ibits, jnp.int32(8))
-                u01 = u24.astype(jnp.float32) * _F32_INV24
+                u_raw = u24.astype(jnp.float32) * _F32_INV24
+                u_gen = u_raw
                 gen = generators[ip]
                 if gen in _DECADES:
                     dec = _DECADES[gen]
-                    u01 = (jnp.exp2(u01 * (dec * 3.321928094887362))
-                           - 1.0) / (10.0 ** dec)
+                    u_gen = (jnp.exp2(u_raw * (dec * 3.321928094887362))
+                             - 1.0) / (10.0 ** dec)
                 lo = ranges_ref[2 * ip]
                 hi = ranges_ref[2 * ip + 1]
-                cand = lo + u01 * (hi - lo)            # (R, K)
+                cand = lo + u_gen * (hi - lo)          # (R, K)
+                if k_local:
+                    # local columns use the untransformed uniform
+                    cur_p = cur_block[:, :, ip]        # (R, 1)
+                    local = jnp.clip(
+                        cur_p * jnp.exp((2.0 * u_raw - 1.0)
+                                        * jnp.float32(local_scale)),
+                        lo, hi)
+                    cand = jnp.where(kiota >= jnp.int32(k_global),
+                                     local, cand)
                 cands.append(cand)
                 pdict[name] = cand[:, :, None]         # (R, K, 1)
 
