@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max iterations per repetition (default 1e5)")
     p.add_argument("--candidates", type=int, default=None,
                    help="speculative proposals per MC step")
+    p.add_argument("--local-moves", type=float, default=None,
+                   help="fraction of candidates drawn as local "
+                        "perturbations of the current value (0 = "
+                        "reference proposal semantics; speeds narrow-"
+                        "basin convergence)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--active", default=None,
                    help="comma-separated active parameter names")
@@ -124,6 +129,8 @@ def main(argv=None) -> int:
         overrides["max_iterations"] = int(args.max_iter)
     if args.candidates is not None:
         overrides["candidates_per_step"] = args.candidates
+    if args.local_moves is not None:
+        overrides["local_moves"] = args.local_moves
     if args.seed is not None:
         overrides["seed"] = args.seed
     if args.series_stats:
