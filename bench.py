@@ -54,7 +54,7 @@ def suite():
         ("gaussian-chain", f"{ref}/sasfit_gauss2-5-1.5-2-1.dat",
          "GaussianChain", None, 1.0, 64, 4_000_000),
         ("kholodenko-worm", f"{ref}/sasfit_kho-1-10-1000.dat",
-         "Kholodenko", None, 4.0, 8, 120_000),
+         "Kholodenko", None, 1.0, 16, 400_000),
         # cylinders on sphere data is a throughput benchmark (the model
         # family mismatches the data, χ²→target is not expected)
         ("cylinders-isotropic", f"{ref}/sasfit_sphere-10-1.dat",
@@ -67,7 +67,8 @@ def suite():
         ("lma-dense-sphere", f"{ref}/sasfit_sphere-10-1.dat",
          "LMADenseSphere", ("radius", "volFrac"), 2.0, 128, 20_000_000),
     ]
-    local = {"core-shell-sphere": 0.5, "lma-dense-sphere": 0.5}
+    local = {"core-shell-sphere": 0.5, "lma-dense-sphere": 0.5,
+             "kholodenko-worm": 0.5}
     for name, path, model, active, crit, k_cand, budget in configs:
         if not os.path.exists(path):
             continue
