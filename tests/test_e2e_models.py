@@ -132,6 +132,37 @@ def test_series_statistics(refdata, tmp_path):
 
 
 @slow
+def test_quickstart_three_populations(refdata):
+    """The reference quickstart workload (doc/source/quickstart.rst): fit
+    the 3-population sphere mix and recover mass at the documented
+    8/40/100 nm population centers (SASfit generation parameters at
+    quickstart.rst:192-199)."""
+    d = mt.load(refdata / "quickstartdemo1.csv")
+    bound = mt.get_model("Sphere").bind(
+        active_ranges={"radius": d.spherical_size_estimate})
+    cfg = McSASConfig(num_contribs=300, num_reps=3, max_iterations=300_000,
+                      chunk_steps=2048, candidates_per_step=16, seed=7,
+                      max_retries=1, show_incomplete=True)
+    spec = mt.HistogramSpec("radius", xscale="log", bin_count=50)
+    res = mt.fit(d, model=bound, cfg=cfg, histograms=[spec])
+    assert res.engine.converged.all()
+    h = res.histograms[0]
+    x_nm, y = h.x_mean * 1e9, h.bins.mean
+    total = y.sum()
+    mass = {}
+    for name, lo, hi in (("p8", 5, 12), ("p40", 28, 58), ("p100", 75, 135),
+                         ("void", 150, 320)):
+        m = (x_nm >= lo) & (x_nm < hi)
+        mass[name] = y[m].sum() / total
+    # each documented population carries significant volume fraction;
+    # the region above 150 nm carries almost none
+    assert mass["p8"] > 0.02
+    assert mass["p40"] > 0.15
+    assert mass["p100"] > 0.15
+    assert mass["void"] < 0.05
+
+
+@slow
 def test_sphere_50_converges_quickly(refdata):
     """A loose-criterion fit must actually converge end-to-end on CPU."""
     d = mt.load(refdata / "sasfit_sphere-50-1.dat")
