@@ -45,6 +45,17 @@ class ShardedEnsemble(McSASEngine):
         super().__init__(data, bound, cfg)
         self.sharding = None  # parent device_put hook unused
 
+        # the fused Pallas kernel applies when the q axis is unsharded and
+        # the model is eligible: each device runs the kernel on its local
+        # repetition shard (pure data parallelism, no collectives)
+        from ..ops import mc_kernel
+        n_rep_axis = self.mesh.shape["rep"]
+        self._pallas_shard = (
+            cfg.use_pallas != "off" and self.mesh.shape["q"] == 1
+            and mc_kernel.supports(self) and cfg.num_reps % n_rep_axis == 0)
+        if self._pallas_shard:
+            self._pad_fit_grid(128)
+
         # zero-weight padding points make the q length divisible by the
         # q-axis size (invisible to every reduction: u = 0)
         self._pad_fit_grid(self.mesh.shape["q"])
@@ -81,8 +92,24 @@ class ShardedEnsemble(McSASEngine):
 
         self._init_batch = jax.jit(lambda keys: sm_init(
             keys, grid_sharded, consts_sharded))
-        self._chunk_batch = jax.jit(lambda state, ri: sm_chunk(
-            state, ri, grid_sharded, consts_sharded))
+        if self._pallas_shard:
+            # a per-shard engine clone builds the fused kernel for the
+            # local repetition count; shard_map runs it per device
+            local = McSASEngine(
+                data, bound,
+                self.cfg.replace(num_reps=self.cfg.num_reps // n_rep_axis,
+                                 use_pallas="on"))
+            local_chunk = local._chunk_batch
+
+            sm_pallas = jax.shard_map(
+                lambda st, ri0: local_chunk(st, ri0),
+                mesh=mesh, in_specs=(specs, P()), out_specs=(specs, P()),
+                check_vma=False)   # per-shard ri outputs are identical
+
+            self._chunk_batch = jax.jit(sm_pallas)
+        else:
+            self._chunk_batch = jax.jit(lambda state, ri: sm_chunk(
+                state, ri, grid_sharded, consts_sharded))
         self._reinit_merge = jax.jit(self._merge_reinit)
 
     def run(self, **kw):

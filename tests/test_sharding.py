@@ -78,6 +78,21 @@ def test_mesh_too_big_raises(cpus):
         make_mesh((16, 1), cpus)
 
 
+def test_pallas_rep_sharding(setup, cpus):
+    """Fused kernel inside shard_map over the rep axis (interpret mode on
+    CPU): must run, descend and respect ranges."""
+    d, bound, cfg = setup
+    cfg = cfg.replace(use_pallas="auto", num_reps=4)
+    se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((4, 1), cpus))
+    assert se._pallas_shard
+    res = se.run()
+    assert np.all(np.isfinite(res.conval))
+    assert np.all(res.n_moves > 0)
+    lo, hi = bound.ranges[0]
+    assert res.contribs.min() >= lo - 1e-15
+    assert res.contribs.max() <= hi * (1 + 1e-6)
+
+
 def test_full_q_mesh(setup, baseline, cpus):
     """1 rep-group × 8 q-shards — the extreme sequence-parallel layout."""
     d, bound, cfg = setup
