@@ -25,9 +25,11 @@ def cpus():
 def setup(refdata):
     d = data.load(refdata / "sasfit_sphere-10-1.dat")
     bound = get_model("Sphere").bind()
+    # use_pallas off: the exact-equivalence tests compare against the XLA
+    # path's threefry proposal stream (the pallas kernel has its own RNG)
     cfg = McSASConfig(num_contribs=30, num_reps=4, max_iterations=1000,
                       chunk_steps=500, seed=5, max_retries=0,
-                      candidates_per_step=2)
+                      candidates_per_step=2, use_pallas="off")
     return d, bound, cfg
 
 
