@@ -11,7 +11,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.special import sphere_ff
+from ..ops.special import sphere_ff, sphere_ff_fast
 from ..utils.units import ANGSTROM_SLD, NM, NoUnit, SLD
 from .base import ParamSpec, SASModel
 
@@ -24,7 +24,7 @@ def _ell_iso_rc(p):
     return jnp.where(p["useAspect"] != 0.0, p["a"] * p["aspect"], p["c"])
 
 
-def _ell_iso_ff(q, p):
+def _ell_iso_ff(q, p, _ff=sphere_ff):
     """Orientation-averaged spheroid a=b, c (Pedersen 1997; reference:
     ellipsoidsisotropic.py:51-71): plug r(α)=√(a²sin²α+c²cos²α) into the
     Rayleigh function and average F²·sin α over α ∈ [0, π/2]."""
@@ -33,7 +33,7 @@ def _ell_iso_ff(q, p):
     rc = _ell_iso_rc(p)
     r_plug = jnp.sqrt(p["a"] ** 2 * jnp.sin(alpha) ** 2
                       + rc ** 2 * jnp.cos(alpha) ** 2)
-    fsplit = sphere_ff(jnp.outer(q, r_plug))
+    fsplit = _ff(jnp.outer(q, r_plug))
     return jnp.sqrt(jnp.mean(fsplit ** 2 * jnp.sin(alpha)[None, :], axis=1))
 
 
@@ -62,6 +62,7 @@ EllipsoidsIsotropic = SASModel(
                   display_name="Scattering length density difference"),
     ),
     ff=_ell_iso_ff,
+    ff_fast=lambda q, p: _ell_iso_ff(q, p, _ff=sphere_ff_fast),
     volume=_ell_iso_volume,
     absvolume=lambda p: _ell_iso_volume(p) * p["sld"] ** 2,
     default_active=("a",),
@@ -70,7 +71,7 @@ EllipsoidsIsotropic = SASModel(
 
 # ------------------------------------------------- SphericalCoreShell
 
-def _sph_cs_ff(q, p):
+def _sph_cs_ff(q, p, _ff=sphere_ff):
     """Spherical Shell III (SASfit §3.1.4; reference:
     sphericalcoreshell.py:50-69): K(q,R+t,ηs−ηsol) − (vc/vt)·K(q,R,ηs−ηc)
     with K(q,r,Δη) = Δη·3(sin qr − qr cos qr)/(qr)³."""
@@ -78,8 +79,8 @@ def _sph_cs_ff(q, p):
     vc = _PI43 * r ** 3
     vt = _PI43 * (r + t) ** 3
     v_ratio = vc / vt
-    ks = (p["eta_s"] - p["eta_sol"]) * sphere_ff(q * (r + t))
-    kc = (p["eta_s"] - p["eta_c"]) * sphere_ff(q * r)
+    ks = (p["eta_s"] - p["eta_sol"]) * _ff(q * (r + t))
+    kc = (p["eta_s"] - p["eta_c"]) * _ff(q * r)
     return ks - v_ratio * kc
 
 
@@ -102,6 +103,7 @@ SphericalCoreShell = SASModel(
                   display_name="Solvent SLD"),
     ),
     ff=_sph_cs_ff,
+    ff_fast=lambda q, p: _sph_cs_ff(q, p, _ff=sphere_ff_fast),
     volume=lambda p: _PI43 * (p["radius"] + p["t"]) ** 3,
     surface=lambda p: 4.0 * math.pi * (p["radius"] + p["t"]) ** 2,
     default_active=("radius",),
@@ -110,7 +112,7 @@ SphericalCoreShell = SASModel(
 
 # ----------------------------------------------- EllipsoidalCoreShell
 
-def _ell_cs_ff(q, p):
+def _ell_cs_ff(q, p, _ff=sphere_ff):
     """Core-shell ellipsoid (SASfit §3.2.3; reference:
     ellipsoidalcoreshell.py:59-90): orientation average over μ ∈ [0, 1] of
     the SLD-weighted sum of 3j1(x)/x terms (== the Rayleigh function)."""
@@ -123,8 +125,8 @@ def _ell_cs_ff(q, p):
     xc = jnp.outer(q, jnp.sqrt(a ** 2 * mu ** 2 + b ** 2 * (1.0 - mu ** 2)))
     xt = jnp.outer(q, jnp.sqrt((a + t) ** 2 * mu ** 2
                                + (b + t) ** 2 * (1.0 - mu ** 2)))
-    fsplit = ((p["eta_c"] - p["eta_s"]) * v_ratio * sphere_ff(xc)
-              + (p["eta_s"] - p["eta_sol"]) * sphere_ff(xt))
+    fsplit = ((p["eta_c"] - p["eta_s"]) * v_ratio * _ff(xc)
+              + (p["eta_s"] - p["eta_sol"]) * _ff(xt))
     return jnp.sqrt(jnp.mean(fsplit ** 2, axis=1))
 
 
@@ -151,6 +153,7 @@ EllipsoidalCoreShell = SASModel(
                   display_name="Orientation Integration Divisions"),
     ),
     ff=_ell_cs_ff,
+    ff_fast=lambda q, p: _ell_cs_ff(q, p, _ff=sphere_ff_fast),
     volume=lambda p: _PI43 * (p["a"] + p["t"]) * (p["b"] + p["t"]) ** 2,
     default_active=("a",),
 )

@@ -10,7 +10,7 @@ import math
 
 import jax.numpy as jnp
 
-from ..ops.special import sphere_ff, py_G_over_A
+from ..ops.special import py_G_over_A, sphere_ff, sphere_ff_fast
 from ..utils.units import ANGSTROM_SLD, Fraction, NM, NoUnit
 from .base import ParamSpec, SASModel
 
@@ -33,6 +33,10 @@ def _sphere_formfactor(q, p):
     return sphere_ff(q * p["radius"])
 
 
+def _sphere_formfactor_fast(q, p):
+    return sphere_ff_fast(q * p["radius"])
+
+
 Sphere = SASModel(
     name="Sphere",
     elementwise_q=True,
@@ -47,6 +51,7 @@ Sphere = SASModel(
                   display_name="scattering length density difference"),
     ),
     ff=_sphere_formfactor,
+    ff_fast=_sphere_formfactor_fast,
     volume=_sphere_volume,
     absvolume=_sphere_absvolume,
     surface=_sphere_surface,
@@ -54,13 +59,13 @@ Sphere = SASModel(
 )
 
 
-def _lma_formfactor(q, p):
+def _lma_formfactor(q, p, _ff=sphere_ff):
     """Sphere form factor with the LMA-PY hard-sphere structure factor
     folded in as FF·√S (reference: models/lmadensesphere.py:68-102)."""
     r, mu = p["radius"], p["volFrac"]
     mf = p["mf"]
     mf = jnp.where(mf == -1.0, (0.634 / mu) ** (1.0 / 3.0), mf)
-    ff = sphere_ff(q * r)
+    ff = _ff(q * r)
     alpha = (1.0 + 2.0 * mu) ** 2 / (1.0 - mu) ** 4
     beta = -6.0 * mu * (1.0 + mu / 2.0) ** 2 / (1.0 - mu) ** 4
     gamma = mu * alpha / 2.0
@@ -91,6 +96,7 @@ LMADenseSphere = SASModel(
                   display_name="scattering length density difference"),
     ),
     ff=_lma_formfactor,
+    ff_fast=lambda q, p: _lma_formfactor(q, p, _ff=sphere_ff_fast),
     volume=_sphere_volume,
     absvolume=_sphere_absvolume,
     surface=_sphere_surface,
