@@ -250,7 +250,11 @@ class McSASEngine:
                     "use_pallas='on' but this model/config is not "
                     "eligible for the fused kernel")
             return True
-        return ok and self._compute_device().platform == "tpu"
+        # 'auto': also require the resident state + candidate temporaries
+        # to fit VMEM, so oversized problems degrade to the XLA scan path
+        # instead of failing at compile/run time
+        return (ok and self._compute_device().platform == "tpu"
+                and mc_kernel.fits_vmem(self))
 
     @staticmethod
     def _compute_device():
@@ -430,7 +434,6 @@ class McSASEngine:
         max_attempts = cfg.max_retries + 2   # reference retry budget
         total_iters = 0
         t0 = time.perf_counter()
-        aborted = False
 
         # without cooperative-abort/progress hooks, the whole attempt runs
         # as ONE device launch (while_loop over chunks) — no per-chunk RTT
@@ -464,7 +467,6 @@ class McSASEngine:
                               converged=converged, attempts=attempts))
             if stop is not None and stop():
                 log.warning("stop requested, exiting MC loop")
-                aborted = True
                 break
             need_retry = ~converged & exhausted & (attempts < max_attempts)
             if need_retry.any():
@@ -489,8 +491,10 @@ class McSASEngine:
             lambda a: np.asarray(a, dtype=np.float64), state)
         conval = state_np.conval
         n_iter = state_np.n_iter.astype(np.int64)
-        converged = (conval <= cfg.convergence_criterion) & ~np.asarray(
-            [aborted] * n_reps)
+        # a cooperative abort only interrupts still-running repetitions;
+        # any repetition whose χ² already reached the criterion genuinely
+        # converged and is reported as such
+        converged = conval <= cfg.convergence_criterion
         total_iters += int(n_iter.sum())
         n_moves = state_np.n_moves.astype(np.int64)
         measval = (state_np.scale[:, None] * state_np.ft

@@ -44,6 +44,37 @@ def supports(engine) -> bool:
             and bound.n_active >= 1)
 
 
+# VMEM ceiling for 'auto' mode: the kernel holds the whole state plus the
+# (R, K, Nq) candidate temporaries resident; above this budget 'auto'
+# degrades to the XLA scan path instead of failing at compile/run time
+# (use_pallas='on' stays a force-override).
+_VMEM_BUDGET = 12 * 2 ** 20
+
+
+def vmem_bytes(engine, n_reps=None) -> int:
+    """Rough VMEM footprint of the fused kernel for this engine.
+
+    *n_reps* overrides the repetition count (the sharded ensemble runs
+    the kernel on a per-device rep shard).
+    """
+    cfg, bound = engine.cfg, engine.bound
+    r = int(cfg.num_reps if n_reps is None else n_reps)
+    nq = pad_lanes(int(engine.grid.shape[0]))
+    n = int(cfg.num_contribs)
+    k = int(cfg.candidates_per_step)
+    p = max(bound.n_active, 1)
+    bank = r * n * nq * 4
+    params = r * n * p * 4
+    # ffv/rows/x/ux + residual + one slack copy for fusion temporaries
+    temps = 6 * r * k * nq * 4
+    fixed = 3 * nq * 4 + 2 * r * nq * 4
+    return bank + params + temps + fixed
+
+
+def fits_vmem(engine, n_reps=None) -> bool:
+    return vmem_bytes(engine, n_reps) <= _VMEM_BUDGET
+
+
 def pad_lanes(n: int) -> int:
     return ((n + _LANE - 1) // _LANE) * _LANE
 
@@ -98,6 +129,12 @@ def build_chunk_fn(engine, interpret=None):
     k_local = engine._k_local()
     k_global = k_cand - k_local
     local_scale = float(cfg.local_scale)
+    # same form-factor selection as make_intensity_kernels (the kernel is
+    # float32 by eligibility): rows written by the kernel must be bitwise
+    # consistent with the ibank rows written by engine._init_rep
+    model_ff = bound.model.ff
+    if bound.model.ff_fast is not None:
+        model_ff = bound.model.ff_fast
 
     def kernel(q_ref, y_ref, u_ref, sc_ref, ranges_ref, seed_ref, ri_ref,
                rset_in, ibank_in, ft_in, fstate_in, istate_in,
@@ -165,7 +202,7 @@ def build_chunk_fn(engine, interpret=None):
                 pdict[name] = cand[:, :, None]         # (R, K, 1)
 
             # ---- candidate intensity rows (model ff is elementwise in q)
-            ffv = bound.model.ff(q3, pdict)            # (R, K, nq)
+            ffv = model_ff(q3, pdict)                  # (R, K, nq)
             vol = bound.model.volume(pdict)
             if not hasattr(vol, "ndim") or vol.ndim == 0:
                 vol = jnp.full((n_reps, k_cand, 1), vol, jnp.float32)

@@ -52,7 +52,10 @@ class ShardedEnsemble(McSASEngine):
         n_rep_axis = self.mesh.shape["rep"]
         self._pallas_shard = (
             cfg.use_pallas != "off" and self.mesh.shape["q"] == 1
-            and mc_kernel.supports(self) and cfg.num_reps % n_rep_axis == 0)
+            and mc_kernel.supports(self) and cfg.num_reps % n_rep_axis == 0
+            and (cfg.use_pallas == "on"
+                 or mc_kernel.fits_vmem(
+                     self, n_reps=cfg.num_reps // n_rep_axis)))
         if self._pallas_shard:
             self._pad_fit_grid(128)
 

@@ -53,7 +53,10 @@ class HistogramSpec:
     bin_count: int = 50
     xscale: str = "lin"          # 'lin' | 'log'
     yweight: str = "vol"         # 'vol' | 'num' | 'int' | 'surf'
-    auto_follow: bool = True
+    # None (default) → follow the active range unless explicit bounds were
+    # given (reference autoFollow, utils/parameter.py:240-247); passing
+    # auto_follow=True with explicit bounds deliberately overrides them
+    auto_follow: bool = None
 
     def __post_init__(self):
         if self.xscale not in XSCALES:
@@ -62,6 +65,10 @@ class HistogramSpec:
             raise ValueError(f"yweight must be one of {WEIGHTINGS}")
         if self.bin_count < 1:
             raise ValueError("bin_count must be >= 1")
+        if self.auto_follow is None:
+            object.__setattr__(
+                self, "auto_follow",
+                self.lower is None and self.upper is None)
 
     def resolved(self, bound: BoundModel) -> "HistogramSpec":
         if self.param not in bound.active:

@@ -68,8 +68,16 @@ def test_internal_consistency(pallas_state):
     for r in range(2):
         rows = jax.vmap(
             lambda p: eng._intensity_row(eng.grid, p))(s.rset[r])
-        np.testing.assert_allclose(np.asarray(rows), np.asarray(s.ibank[r]),
-                                   rtol=2e-4)
+        rows_np = np.asarray(rows)
+        bank_np = np.asarray(s.ibank[r])
+        # rtol alone traps deep form-factor minima (elements 9+ decades
+        # below the row max are pure float32 round-off); give each row an
+        # atol floor scaled to its magnitude
+        row_max = np.max(np.abs(bank_np), axis=1, keepdims=True)
+        tol = 2e-4 * np.abs(bank_np) + 1e-6 * row_max
+        err = np.abs(rows_np - bank_np)
+        assert np.all(err <= tol), (
+            f"rep {r}: max excess {np.max(err - tol):g}")
         ft = jnp.sum(rows, axis=0)
         sol = solve_scale_bg(ft, eng.consts, True, False)
         assert float(sol.chisqr) == pytest.approx(float(s.conval[r]),
