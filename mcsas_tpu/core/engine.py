@@ -486,9 +486,18 @@ class McSASEngine:
             if not running.any():
                 break
 
+        # fetch ONLY the result fields — the (R, N, Nq) intensity bank is
+        # never needed on the host, and pulling it through the remote
+        # device link costs ~10x the whole MC optimization
+        small = dict(rset=state.rset, ft=state.ft, scale=state.scale,
+                     background=state.background, conval=state.conval,
+                     n_iter=state.n_iter, n_moves=state.n_moves)
+        fetched = jax.device_get(small)
+        state_np = type(state)(
+            key=None, ibank=None,
+            **{k: np.asarray(v, dtype=np.float64) for k, v in
+               fetched.items()})
         elapsed = time.perf_counter() - t0
-        state_np = jax.tree_util.tree_map(
-            lambda a: np.asarray(a, dtype=np.float64), state)
         conval = state_np.conval
         n_iter = state_np.n_iter.astype(np.int64)
         # a cooperative abort only interrupts still-running repetitions;
