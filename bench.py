@@ -34,6 +34,37 @@ def find_dataset():
     sys.exit(1)
 
 
+def synth_golden(kind):
+    """Synthetic float64 golden curve for model families without a
+    reference dataset (BASELINE.json families 'isotropic cylinder +
+    ellipsoid'): converged (n=801) orientation integral, 1% uncertainty.
+    q is capped so q·R stays within the well-resolved invariant-table
+    zone (the fit-grade tier the MC loop runs on)."""
+    import jax
+    import jax.numpy as jnp
+    from mcsas_tpu.data import DataConfig, from_raw
+
+    q_nm = np.geomspace(0.01, 2.0, 100)
+    q_si = jnp.asarray(q_nm * 1e9, jnp.float64)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        if kind == "cylinder":
+            from mcsas_tpu.models.cylinders import _cyl_iso_ff_ab
+            r, asp = 10e-9, 10.0
+            ff = jax.jit(lambda q: _cyl_iso_ff_ab(
+                q * r, q * (2.0 * r * asp), 801, jnp.float64))(q_si)
+        else:
+            from mcsas_tpu.models.ellipsoids import _ell_iso_ff_uv
+            a, c = 10e-9, 30e-9
+            ff = jax.jit(lambda q: _ell_iso_ff_uv(
+                q * a, q * c, 801, jnp.float64))(q_si)
+    i = np.asarray(ff, np.float64) ** 2
+    i = i / i.max()
+    raw = np.column_stack([q_nm, i, 0.01 * i])
+    return from_raw(raw, title=f"synthetic-{kind}",
+                    config=DataConfig(n_bin=0))
+
+
 def suite():
     """Extended benchmark over the BASELINE.json config families; one JSON
     line per config (not part of the driver's single-line contract — run
@@ -45,35 +76,56 @@ def suite():
 
     ref = "/root/reference/testdata"
     refm = "/root/reference/src/mcsas/models/testData"
-    # (name, path, model, active, chi2 target, K, proposal budget):
-    # quadrature-heavy kernels (Kholodenko's 2k-point Gauss-Legendre,
-    # cylinder orientation integrals) get smaller K and budgets
+    nm = 1e-9
+    # (name, data, model, active, ranges, chi2 target, K, budget):
+    # every BASELINE.json family has a converging row; quadrature models
+    # run on the scale-invariant table path (ops/tables.py)
     configs = [
         ("sphere", f"{ref}/sasfit_sphere-10-1.dat", "Sphere", None,
-         1.0, 128, 8_000_000),
+         None, 1.0, 128, 8_000_000),
         ("gaussian-chain", f"{ref}/sasfit_gauss2-5-1.5-2-1.dat",
-         "GaussianChain", None, 1.0, 64, 4_000_000),
+         "GaussianChain", None, None, 1.0, 64, 4_000_000),
         ("kholodenko-worm", f"{ref}/sasfit_kho-1-10-1000.dat",
-         "Kholodenko", None, 1.0, 16, 400_000),
-        # cylinders on sphere data is a throughput benchmark (the model
-        # family mismatches the data, χ²→target is not expected)
-        ("cylinders-isotropic", f"{ref}/sasfit_sphere-10-1.dat",
-         "CylindersIsotropic", ("radius",), 2.0, 32, 300_000),
-        # joint 2-parameter populations (narrow 2D improving basin) use
+         "Kholodenko", None, None, 1.0, 64, 4_000_000),
+        ("cylinders-isotropic", "synth:cylinder",
+         "CylindersIsotropic", ("radius",),
+         {"radius": (0.5 * nm, 300 * nm)}, 1.0, 128, 8_000_000),
+        # the synthetic golden ellipsoid has aspect 3 (see synth_golden)
+        ("ellipsoids-isotropic", "synth:ellipsoid",
+         "EllipsoidsIsotropic", ("a",),
+         {"a": (0.5 * nm, 300 * nm)}, 1.0, 128, 8_000_000),
+        # joint multi-parameter populations (narrow improving basin) use
         # the opt-in local-move proposals to reach the reference's χ²≤1
         ("core-shell-sphere",
          f"{refm}/SphCoreShell_R100_dR150_c3p16_s2p53.csv",
-         "SphericalCoreShell", ("radius", "t"), 1.0, 128, 40_000_000),
+         "SphericalCoreShell", ("radius", "t"), None, 1.0, 128,
+         40_000_000),
+        ("core-shell-ellipsoid",
+         f"{refm}/EllCoreShell_a100_b150_t500_c3p16_s2p53_sol0.csv",
+         "EllipsoidalCoreShell", ("a", "b", "t"), None, 1.0, 128,
+         40_000_000),
+        # dilute data: bounded φ avoids the documented volFrac degeneracy
+        # (BENCHMARKS.md ‡) so this family also measures convergence
         ("lma-dense-sphere", f"{ref}/sasfit_sphere-10-1.dat",
-         "LMADenseSphere", ("radius", "volFrac"), 2.0, 128, 20_000_000),
+         "LMADenseSphere", ("radius", "volFrac"),
+         {"volFrac": (1e-4, 0.1)}, 1.0, 128, 20_000_000),
     ]
-    local = {"core-shell-sphere": 0.5, "lma-dense-sphere": 0.5,
-             "kholodenko-worm": 0.5}
-    for name, path, model, active, crit, k_cand, budget in configs:
-        if not os.path.exists(path):
+    local = {"core-shell-sphere": 0.5, "core-shell-ellipsoid": 0.5,
+             "lma-dense-sphere": 0.5, "kholodenko-worm": 0.5}
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    for (name, path, model, active, ranges, crit, k_cand,
+         budget) in configs:
+        if only and name not in only:
             continue
-        data = mt.load(path)
-        bound = get_model(model).bind(active=active)
+        if path.startswith("synth:"):
+            data = synth_golden(path.split(":", 1)[1])
+        elif os.path.exists(path):
+            data = mt.load(path)
+        else:
+            continue
+        fixed = {"ellipsoids-isotropic": {"aspect": 3.0}}.get(name)
+        bound = get_model(model).bind(active=active, active_ranges=ranges,
+                                      fixed=fixed)
         cfg = McSASConfig(num_contribs=300, num_reps=10,
                           max_iterations=budget, chunk_steps=1024,
                           candidates_per_step=k_cand, seed=2026,
@@ -93,8 +145,9 @@ def suite():
             "max_chi2": round(float(res.engine.conval.max()), 3),
             "converged_reps": int(res.engine.converged.sum()),
             "proposals_per_sec": round(res.engine.iters_per_sec),
-            "pallas": bool(getattr(res, "engine", None)
-                           and res.bound.model.elementwise_q),
+            "pallas": bool(res.bound.model.elementwise_q),
+            "table": bool(cfg.table_ff_enabled()
+                          and res.bound.model.ff_table_factory is not None),
             "local_moves": cfg.local_moves,
         }), flush=True)
 

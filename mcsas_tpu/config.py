@@ -56,6 +56,12 @@ class McSASConfig:
     # is unchanged, so the result is still a strict-descent MC fit.
     local_moves: float = 0.0
     local_scale: float = 0.2
+    # Scale-invariant form-factor tables (ops/tables.py): "auto" enables
+    # the fit-grade texture-lookup path for quadrature-heavy models when
+    # the proposal budget amortizes the one-time table build, "on"
+    # forces it for table-capable models, "off" keeps the exact
+    # (or ff_fast) kernel in the hot loop.
+    table_ff: str = "auto"
 
     _JSON_KEYS = {
         "num_contribs": "numContribs",
@@ -78,6 +84,7 @@ class McSASConfig:
         "use_pallas": "usePallas",
         "local_moves": "localMoves",
         "local_scale": "localScale",
+        "table_ff": "tableFF",
     }
 
     def __post_init__(self):
@@ -97,6 +104,17 @@ class McSASConfig:
             raise ValueError("local_moves must be in [0, 1]")
         if self.local_moves > 0.0 and self.candidates_per_step < 2:
             raise ValueError("local_moves requires candidates_per_step >= 2")
+        if self.table_ff not in ("auto", "on", "off"):
+            raise ValueError("table_ff must be 'auto', 'on' or 'off'")
+
+    def table_ff_enabled(self) -> bool:
+        """Resolved table decision: 'auto' requires the total proposal
+        budget to amortize the one-time table build (~1 GFLOP)."""
+        if self.table_ff == "off":
+            return False
+        if self.table_ff == "on":
+            return True
+        return self.num_reps * self.max_iterations >= 200_000
 
     def replace(self, **kw) -> "McSASConfig":
         return dataclasses.replace(self, **kw)

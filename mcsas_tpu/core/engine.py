@@ -106,7 +106,7 @@ class EngineResult:
 
 
 def make_intensity_kernels(bound: BoundModel, data: SASData,
-                           cfg: McSASConfig, dtype):
+                           cfg: McSASConfig, dtype, allow_table=True):
     """Builds the intensity-row kernel for the fit grid.
 
     intensity_row(grid, pvec) -> (Nq,): F²·(w/w_ref)/i_ref, optionally
@@ -117,10 +117,17 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
     """
     comp_exp = cfg.compensation_exponent
     v_ref = bound.reference_volume()
-    smearing = data.uses_smearing and bound.model.can_smear
+    # 2D (q, ψ) fitting: the grid carries both coordinates as columns and
+    # the kernel is the model's anisotropic ff2d (see models/base.py)
+    two_d = data.psi is not None and bound.model.ff2d is not None
+    smearing = (data.uses_smearing and bound.model.can_smear
+                and not two_d)
     if smearing:
         full_grid = jnp.asarray(data.locs, dtype)
         smear_w = jnp.asarray(data.smear_w, dtype)
+    elif two_d:
+        full_grid = jnp.asarray(
+            np.column_stack([data.q, data.psi]), dtype)
     else:
         full_grid = jnp.asarray(data.q, dtype)
 
@@ -143,8 +150,14 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
         probe_grid = np.asarray(data.locs if smearing else data.q,
                                 np.float64)
         # one jitted call: eager evaluation would remote-compile every op
-        ffp = np.asarray(jax.jit(bound.ff)(jnp.asarray(probe_grid),
-                                           jnp.asarray(mids)))
+        if two_d:
+            ffp = np.asarray(jax.jit(
+                lambda q, psi, v: bound.model.ff2d(q, psi, bound.pdict(v))
+            )(jnp.asarray(probe_grid), jnp.asarray(data.psi),
+              jnp.asarray(mids)))
+        else:
+            ffp = np.asarray(jax.jit(bound.ff)(jnp.asarray(probe_grid),
+                                               jnp.asarray(mids)))
         probe = np.abs(ffp * ffp)
     i_ref = float(np.nanmax(probe))
     if not np.isfinite(i_ref) or i_ref <= 0.0:
@@ -158,15 +171,35 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
     if (jnp.dtype(dtype) == jnp.float32
             and bound.model.ff_fast is not None):
         model_ff = bound.model.ff_fast
+    # parameter-grid row table (ops/tables.py): replaces the quadrature
+    # with a multilinear row blend — strictly the fastest fit-grade tier.
+    # Rows are baked against THIS fit grid, so it is disabled when the
+    # kernel would see a different grid (smearing locs, q-axis shards).
+    used_table = False
+    if (jnp.dtype(dtype) == jnp.float32
+            and bound.model.ff_table_factory is not None
+            and not smearing and not two_d
+            and allow_table
+            and cfg.table_ff_enabled()):
+        table_ff = bound.model.ff_table_factory(
+            bound, np.asarray(data.q, np.float64), dtype)
+        if table_ff is not None:
+            model_ff = table_ff
+            used_table = True
 
     def intensity_row(grid, pvec):
-        ffv = model_ff(grid, bound.pdict(pvec))
+        if two_d:
+            ffv = bound.model.ff2d(grid[:, 0], grid[:, 1],
+                                   bound.pdict(pvec))
+        else:
+            ffv = model_ff(grid, bound.pdict(pvec))
         w = weight_norm(pvec) * inv_i_ref
         if smearing:
             return (ffv * ffv) @ smear_w * w
         return ffv * ffv * w
 
-    return (intensity_row, full_grid, v_ref ** (2.0 * comp_exp) * i_ref)
+    return (intensity_row, full_grid, v_ref ** (2.0 * comp_exp) * i_ref,
+            used_table)
 
 
 class McSASEngine:
@@ -175,6 +208,10 @@ class McSASEngine:
     Reusable across runs (retries, series fits over same-shaped data): all
     jitted functions are built once in __init__.
     """
+
+    # subclasses that reshape/shard the fit grid (q-axis sharding) set
+    # this False: ParamTable rows are baked against the engine's own grid
+    _allow_table = True
 
     def __init__(self, data: SASData, bound: BoundModel, cfg: McSASConfig,
                  sharding=None):
@@ -194,8 +231,10 @@ class McSASEngine:
         self.n_contribs = cfg.num_contribs
         self.consts: FitConstants = make_constants(data.f, data.fu,
                                                    self.dtype)
-        (self._intensity_row, self.grid,
-         self.w_ref) = make_intensity_kernels(bound, data, cfg, self.dtype)
+        (self._intensity_row, self.grid, self.w_ref,
+         self.uses_table) = make_intensity_kernels(
+             bound, data, cfg, self.dtype,
+             allow_table=type(self)._allow_table)
 
         self.uses_pallas = self._pallas_eligible()
         if self.uses_pallas:
@@ -218,11 +257,15 @@ class McSASEngine:
 
         # single-launch driver: a device-side while_loop over chunks runs
         # one whole attempt without any host round trip (the remote-attach
-        # RTT per launch is material).  Only wraps the Pallas chunk — the
-        # XLA scan chunk inside a while_loop blows up compile time for
-        # quadrature-heavy model bodies.
+        # RTT per launch is material).  Only for FAST bodies (Pallas or
+        # elementwise XLA): a quadrature-heavy body blows up compile
+        # time, and a slow body (table gathers) can keep a single launch
+        # on-device for minutes, which trips the remote worker's watchdog
+        # ("TPU worker crashed").  Table models use the host chunk loop —
+        # at ~150 ms/chunk the per-launch RTT is noise.
         self._drive = None
-        if self.uses_pallas:
+        if (self.uses_pallas
+                or (bound.model.elementwise_q and not self.uses_table)):
             crit = float(cfg.convergence_criterion)
 
             def drive(state, ri):

@@ -70,9 +70,20 @@ def solve_scale_bg(x, c: FitConstants, find_background: bool,
     inside a ``shard_map`` and every reduction is completed with a psum
     over the ICI mesh axis — the sequence-parallel analogue called for in
     SURVEY §2.13 (the q grid is the only "sequence" in this workload).
+
+    All reductions accumulate in float64 (cast before the sum/psum) so
+    the accept decisions driven by these scalars are invariant to the
+    q-axis device split: the residual float64 association difference is
+    ~1e-16 relative, far below the float32 rounding of the returned
+    scalars.  On backends that truncate f64 (TPU) this compiles back to
+    the f32 reduction; the invariance guarantee then holds between
+    *matching* platforms, which is what the CPU-mesh tests exercise.
     """
+    dt = x.dtype
+    acc = jnp.float64 if jax.config.jax_enable_x64 else dt
+
     def reduce(v):
-        s = jnp.sum(v)
+        s = jnp.sum(v.astype(acc))
         if axis_name is not None:
             s = jax.lax.psum(s, axis_name)
         return s
@@ -82,25 +93,28 @@ def solve_scale_bg(x, c: FitConstants, find_background: bool,
     s_xx = reduce(u * x * x)
     s_xy = reduce(u * x * y)
 
+    s_u = jnp.asarray(c.s_u, acc)
+    s_uy = jnp.asarray(c.s_uy, acc)
+
     # scale-invariant guards: x may span absurd absolute magnitudes
     # (SI intensities ~1e-30), so degeneracy must be judged relative to
     # s_u·s_xx (det = s_u·s_xx·(1 − corr²)), never against absolute eps
     rel_eps = jnp.asarray(
-        1e-6 if jnp.dtype(x.dtype) == jnp.float32 else 1e-12, x.dtype)
+        1e-6 if jnp.dtype(dt) == jnp.float32 else 1e-12, acc)
     xx_zero = s_xx <= 0.0
     a_nobg = jnp.where(xx_zero, jnp.zeros_like(s_xy),
                        s_xy / jnp.where(xx_zero, jnp.ones_like(s_xx),
                                         s_xx))
 
     if find_background:
-        denom = c.s_u * s_xx
+        denom = s_u * s_xx
         det = denom - s_x * s_x
         degenerate = xx_zero | (det <= rel_eps * denom)
         safe_det = jnp.where(degenerate, jnp.ones_like(det), det)
-        a_bg = (c.s_u * s_xy - s_x * c.s_uy) / safe_det
-        b_bg = (c.s_uy - a_bg * s_x) / c.s_u
+        a_bg = (s_u * s_xy - s_x * s_uy) / safe_det
+        b_bg = (s_uy - a_bg * s_x) / s_u
         a = jnp.where(degenerate, a_nobg, a_bg)
-        b_deg = (c.s_uy - a_nobg * s_x) / c.s_u
+        b_deg = (s_uy - a_nobg * s_x) / s_u
         b = jnp.where(degenerate, b_deg, b_bg)
         if positive_background:
             neg = b < 0.0
@@ -110,8 +124,10 @@ def solve_scale_bg(x, c: FitConstants, find_background: bool,
         a = a_nobg
         b = jnp.zeros_like(a)
 
+    a = a.astype(dt)
+    b = b.astype(dt)
     r = y - a * x - b
-    chisqr = reduce(u * r * r) / c.n
+    chisqr = (reduce(u * r * r) / c.n).astype(dt)
     return ScaleBg(scale=a, background=b, chisqr=chisqr)
 
 

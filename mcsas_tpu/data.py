@@ -140,6 +140,12 @@ class DataConfig:
     fu_min: float = 0.01                # min uncertainty as fraction of I
     n_bin: int = 100                    # ≤0 disables rebinning
     smearing: Optional[SmearingConfig] = None
+    # 2D (q, ψ) fitting: keep the per-pixel ψ on the fit grid (disables
+    # log rebinning) so ψ-aware models (SASModel.ff2d) fit anisotropic
+    # data.  The reference's 2D path is dormant/broken upstream
+    # (mcsas.py:617-651 references undefined names); this is a working
+    # re-design of that capability.
+    fit_2d: bool = False
 
     def replace(self, **kw) -> "DataConfig":
         return dataclasses.replace(self, **kw)
@@ -170,12 +176,15 @@ class SASData:
     q: np.ndarray
     f: np.ndarray
     fu: np.ndarray
+    # ψ on the fit grid, aligned with q (only when config.fit_2d and the
+    # raw data carries a ψ column; None otherwise)
+    psi: Optional[np.ndarray] = None
     # smearing: locs is the (len(q), n_offsets) evaluation grid, and
     # smear_w the contraction vector such that the smeared intensity is
     # (ff(locs)² · w) @ smear_w  (already includes the factor 2 and the
     # beam-profile weights; reference: sasmodel.py:56-73, sasconfig.py:308-339)
-    locs: Optional[np.ndarray]
-    smear_w: Optional[np.ndarray]
+    locs: Optional[np.ndarray] = None
+    smear_w: Optional[np.ndarray] = None
 
     # --- derived helpers -------------------------------------------------
     @property
@@ -271,7 +280,12 @@ def _build(title, filename, raw, config,
 
     san_q, san_f, san_fu = q_si[valid], f_si[valid], fu_si[valid]
 
-    if config.n_bin > 0 and san_q.size:
+    psi_fit = None
+    if config.fit_2d and psi_si is not None:
+        # 2D fit grid: per-pixel (q, ψ) pairs, no log rebinning
+        psi_fit = psi_si[valid]
+        qb, fb, fub = san_q, san_f, san_fu
+    elif config.n_bin > 0 and san_q.size:
         qb, fb, fub = _rebin_log(san_q, san_f, san_fu, config.n_bin)
     else:
         qb, fb, fub = san_q, san_f, san_fu
@@ -288,7 +302,7 @@ def _build(title, filename, raw, config,
 
     return SASData(title=title, filename=filename, raw=raw, config=config,
                    q_si=q_si, f_si=f_si, fu_si=fu_si, psi_si=psi_si,
-                   valid=valid, q=qb, f=fb, fu=fub,
+                   valid=valid, q=qb, f=fb, fu=fub, psi=psi_fit,
                    locs=locs, smear_w=smear_w)
 
 

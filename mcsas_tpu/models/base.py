@@ -81,6 +81,17 @@ class SASModel:
     # optional reduced-precision form factor for the float32 MC hot loop
     # (e.g. a coarser quadrature); float64 analysis always uses ``ff``
     ff_fast: Optional[Callable] = None
+    # optional scale-invariant table builder (ops/tables.py):
+    # factory(bound, q_lo, q_hi, dtype) -> ff_fn or None.  When set, the
+    # float32 MC loop replaces the model's quadrature with a bilinear
+    # texture lookup on a per-engine invariant table (fit-grade tier,
+    # like ff_fast); float64 analysis always uses ``ff``
+    ff_table_factory: Optional[Callable] = None
+    # optional anisotropic kernel ff2d(q, psi, p) for 2D (q, ψ) fitting
+    # (DataConfig.fit_2d); ``ff`` remains the azimuthal average used for
+    # 1D data.  Re-designs the reference's dormant 2D path
+    # (mcsas.py:617-651).
+    ff2d: Optional[Callable] = None
     can_smear: bool = False
     default_active: Tuple[str, ...] = ()
     doc: str = ""

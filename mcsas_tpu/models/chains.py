@@ -111,25 +111,32 @@ def _kho_fz(z, t):
     return jnp.where(z <= 0.0, jnp.ones_like(fz), fz)
 
 
-def _kho_p0_sq(q, kuhn, contour, head=None):
-    """∫₀ˣ f(z)·(2/x)(1−z/x) dz with x = 3·contour/kuhn."""
+def _kho_p0_sq_tx(t, x, head=None):
+    """∫₀ˣ f(z)·(2/x)(1−z/x) dz as a pure function of the invariants
+    t = q·kuhn/3, x = 3·contour/kuhn (elementwise in t, x; quadrature on
+    the last axis)."""
     head_nodes, head_weights = head if head is not None else (
         _HEAD_NODES, _HEAD_WEIGHTS)
-    x = 3.0 * contour / kuhn
-    t = q * kuhn / 3.0          # (Nq,)
-    dtype = jnp.result_type(q, kuhn)
-    head_hi = jnp.minimum(x, _Z_CUT)
+    dtype = jnp.result_type(t, x)
+    t = jnp.asarray(t, dtype)[..., None]
+    xs = jnp.asarray(x, dtype)[..., None]
+    head_hi = jnp.minimum(xs, _Z_CUT)
 
     def integrate(nodes, weights, lo, hi):
-        z = lo + (hi - lo) * jnp.asarray(nodes, dtype)[:, None]   # (K, 1)
-        w = (hi - lo) * jnp.asarray(weights, dtype)[:, None]
-        core = _kho_fz(z, t[None, :]) * (2.0 / x) * (1.0 - z / x)
-        return jnp.sum(w * core, axis=0)
+        z = lo + (hi - lo) * jnp.asarray(nodes, dtype)
+        w = (hi - lo) * jnp.asarray(weights, dtype)
+        core = _kho_fz(z, t) * (2.0 / xs) * (1.0 - z / xs)
+        return jnp.sum(w * core, axis=-1)
 
     total = integrate(head_nodes, head_weights, 0.0, head_hi)
-    tail = integrate(_TAIL_NODES, _TAIL_WEIGHTS, head_hi, x)
-    total = total + jnp.where(x > _Z_CUT, tail, jnp.zeros_like(tail))
+    tail = integrate(_TAIL_NODES, _TAIL_WEIGHTS, head_hi, xs)
+    total = total + jnp.where(jnp.asarray(x, dtype) > _Z_CUT, tail,
+                              jnp.zeros_like(tail))
     return jnp.maximum(total, 0.0)
+
+
+def _kho_p0_sq(q, kuhn, contour, head=None):
+    return _kho_p0_sq_tx(q * kuhn / 3.0, 3.0 * contour / kuhn, head)
 
 
 def _kho_ff_impl(q, p, head=None):
@@ -153,6 +160,42 @@ def _kho_ff_fast(q, p):
     return _kho_ff_impl(q, p, head=_FAST_HEAD)
 
 
+def _kho_table_factory(bound, q_grid, dtype):
+    """Fit-grade parameter-grid row table of the worm backbone p0 for the
+    float32 MC loop (see ops/tables.py::ParamTable); the circular
+    cross-section 2·j1(qr)/qr stays an exact elementwise factor, so the
+    radius axis never needs tabulating."""
+    from ..ops import tables
+    tab_params = tuple(p for p in bound.active
+                       if p in ("lenKuhn", "lenContour"))
+    res = {0: (), 1: (2048,), 2: (256, 48)}[len(tab_params)]
+    grids = [tables.log_grid(*tables.param_product_range(bound, p), nn)
+             for p, nn in zip(tab_params, res)]
+    fixed = dict(bound.fixed)
+    qd = jnp.asarray(np.asarray(q_grid), dtype)
+
+    def row_fn(vals):
+        p = dict(fixed)
+        for i, name in enumerate(tab_params):
+            p[name] = vals[i]
+        return jnp.sqrt(_kho_p0_sq(qd, p["lenKuhn"], p["lenContour"],
+                                   head=_FAST_HEAD))
+
+    key = ("Kholodenko", tab_params, len(qd),
+           float(np.asarray(q_grid).sum()))
+    tab = tables.build_param_table(row_fn, grids, dtype, block=64,
+                                   cache_key=key)
+
+    def ff(q, p):
+        # valid only on the baked fit grid (the engine always passes it)
+        p0 = tables.lookup_param_table(
+            tab, [p[name] for name in tab_params])
+        pcs = 2.0 * j1_over_x(q * p["radius"])
+        return p0 * pcs
+
+    return ff
+
+
 def _kho_volume(p):
     return math.pi * p["lenContour"] * p["radius"] ** 2
 
@@ -173,6 +216,7 @@ Kholodenko = SASModel(
     ),
     ff=_kho_ff,
     ff_fast=_kho_ff_fast,
+    ff_table_factory=_kho_table_factory,
     volume=_kho_volume,
     default_active=("radius", "lenKuhn", "lenContour"),
 )

@@ -40,27 +40,82 @@ def _cyl_absvolume(p):
 
 # --------------------------------------------------- CylindersIsotropic
 
+def _cyl_half(p):
+    return jnp.where(p["useAspect"] != 0.0,
+                     p["radius"] * p["aspect"], 0.5 * p["length"])
+
+
+def _cyl_iso_ff_ab(a, b, n, dtype):
+    """The orientation average as a pure function of the scale invariants
+    a = qR, b = qL (elementwise in a, b; quadrature on the last axis)."""
+    x, step = np.linspace(0.0, 1.0, n, retstep=True)
+    x = jnp.asarray(x[1:-1], dtype=dtype)             # interior points
+    a = jnp.asarray(a, dtype)
+    b = jnp.asarray(b, dtype)
+    qr_sqrtx = a[..., None] * jnp.sqrt(1.0 - x * x)
+    qlx = b[..., None] * x
+    fmid = bessel_j1(qr_sqrtx) * jnp.sin(qlx / 2.0) / (qr_sqrtx * qlx)
+    f0 = 0.5 * j1_over_x(a)                           # x→0 limit
+    f1 = sinc_sin(b / 2.0)                            # x→1 limit
+    # trapezoid rule with uniform step, matching np.trapz(f², dx=step):
+    # interior points at full weight, both endpoints at half weight
+    integral = step * (jnp.sum(fmid * fmid, axis=-1)
+                       + 0.5 * (f0 * f0 + f1 * f1))
+    return jnp.sqrt(16.0 * integral)
+
+
 def _cyl_iso_ff(q, p):
     """SASfit eq. 3.215 orientation average (reference:
     cylindersisotropic.py:50-90), integrating x = cos α over [0, 1] with the
     reference's explicit endpoint limits:
     x→0: ½·J1(qR)/(qR);  x→1: sin(qL/2·2)/(qL·…) = sinc(q·halfLength)."""
-    n = int(p["intDiv"])
-    x, step = np.linspace(0.0, 1.0, n, retstep=True)
-    x = jnp.asarray(x[1:-1], dtype=q.dtype)           # interior points
-    half = jnp.where(p["useAspect"] != 0.0,
-                     p["radius"] * p["aspect"], 0.5 * p["length"])
-    qr_sqrtx = jnp.outer(q, p["radius"] * jnp.sqrt(1.0 - x * x))
-    qlx = jnp.outer(q, 2.0 * half * x)
-    fmid = bessel_j1(qr_sqrtx) * jnp.sin(qlx / 2.0) / (qr_sqrtx * qlx)
-    f0 = 0.5 * j1_over_x(q * p["radius"])             # x→0 limit
-    f1 = sinc_sin(q * half)                           # x→1 limit
-    fsq = jnp.concatenate(
-        [f0[:, None] ** 2, fmid ** 2, f1[:, None] ** 2], axis=1)
-    # trapezoid rule with uniform step, matching np.trapz(f², dx=step)
-    integral = step * (jnp.sum(fsq, axis=1)
-                       - 0.5 * (fsq[:, 0] + fsq[:, -1]))
-    return jnp.sqrt(16.0 * integral)
+    half = _cyl_half(p)
+    return _cyl_iso_ff_ab(q * p["radius"], q * (2.0 * half),
+                          int(p["intDiv"]), q.dtype)
+
+
+def _cyl_iso_table_factory(bound, q_grid, dtype):
+    """Fit-grade parameter-grid row table for the float32 MC loop (see
+    ops/tables.py::ParamTable): rows over the active size parameters,
+    the q axis exact.  Built with a converged rule — the model's default
+    intDiv=100 trapezoid carries up to ~20% discretization noise at qR
+    in [10, 100] (measured vs n=801); the table targets the true
+    integral."""
+    from ..ops import tables
+    fixed = dict(bound.fixed)
+    if "useAspect" not in fixed:        # not fittable, so always fixed
+        return None
+    n = max(801, int(fixed.get("intDiv", 100)))
+    # only the parameters the form factor actually reads (half-length
+    # comes from aspect or length depending on the useAspect switch)
+    rele = (("radius", "aspect") if fixed["useAspect"] != 0.0
+            else ("radius", "length"))
+    tab_params = tuple(p for p in bound.active if p in rele)
+    res = {0: (), 1: (4096,), 2: (512, 64)}[len(tab_params)]
+    grids = [tables.log_grid(*tables.param_product_range(bound, p), nn)
+             for p, nn in zip(tab_params, res)]
+    q32 = jnp.asarray(np.asarray(q_grid), dtype)
+
+    def row_fn(vals):
+        p = dict(fixed)
+        for i, name in enumerate(tab_params):
+            p[name] = vals[i]
+        # active params outside `rele` do not enter the form factor
+        for name in bound.active:
+            p.setdefault(name, 1.0)
+        return _cyl_iso_ff_ab(q32 * p["radius"],
+                              q32 * (2.0 * _cyl_half(p)), n, dtype)
+
+    key = ("CylindersIsotropic", n, tab_params, len(q32),
+           float(np.asarray(q_grid).sum()))
+    tab = tables.build_param_table(row_fn, grids, dtype, cache_key=key)
+
+    def ff(q, p):
+        # valid only on the baked fit grid (the engine always passes it)
+        return tables.lookup_param_table(
+            tab, [p[name] for name in tab_params])
+
+    return ff
 
 
 CylindersIsotropic = SASModel(
@@ -84,6 +139,7 @@ CylindersIsotropic = SASModel(
                   display_name="Scattering length density difference"),
     ),
     ff=_cyl_iso_ff,
+    ff_table_factory=_cyl_iso_table_factory,
     volume=_cyl_volume,
     absvolume=_cyl_absvolume,
     default_active=("radius",),
@@ -131,6 +187,18 @@ CylindersIsotropicAspect = SASModel(
 
 # ------------------------------------------ CylindersRadiallyIsotropic
 
+def _cyl_radial_ff2d(q, psi, p):
+    """Anisotropic in-plane cylinder at detector azimuth ψ (Pedersen 1997
+    eq. for a cylinder; fig. 1 of Pauw et al., J. Appl. Cryst. 2010): the
+    un-averaged integrand of _cyl_radial_ff, evaluated at the data's own
+    ψ instead of an orientation grid.  Powers the working 2D (q, ψ) fit
+    that the reference's dormant path (mcsas.py:617-651) never finished."""
+    a = psi - p["psiAngle"]
+    qr_sina = q * p["radius"] * jnp.sin(a)
+    ql_cosa = q * (p["radius"] * p["aspect"]) * jnp.cos(a)
+    return 2.0 * j1_over_x(qr_sina) * sinc_sin(ql_cosa)
+
+
 def _cyl_radial_ff(q, p):
     """In-plane isotropic cylinders (reference:
     cylindersradiallyisotropic.py:50-75): ψ grid spans the psiAngle value
@@ -138,10 +206,7 @@ def _cyl_radial_ff(q, p):
     n = int(p["psiAngleDivisions"])
     psi = jnp.asarray(
         np.linspace(0.01, 2.0 * math.pi + 0.01, n), dtype=q.dtype)
-    a = psi - p["psiAngle"]
-    qr_sina = jnp.outer(q, p["radius"] * jnp.sin(a))
-    ql_cosa = jnp.outer(q, p["radius"] * p["aspect"] * jnp.cos(a))
-    fsplit = 2.0 * j1_over_x(qr_sina) * sinc_sin(ql_cosa)
+    fsplit = _cyl_radial_ff2d(q[:, None], psi[None, :], p)
     return jnp.sqrt(jnp.mean(fsplit ** 2, axis=1))
 
 
@@ -166,6 +231,7 @@ CylindersRadiallyIsotropic = SASModel(
                   display_name="scattering length density difference"),
     ),
     ff=_cyl_radial_ff,
+    ff2d=_cyl_radial_ff2d,
     volume=lambda p: math.pi * p["radius"] ** 2
     * (2.0 * p["radius"] * p["aspect"]),
     absvolume=lambda p: math.pi * p["radius"] ** 2

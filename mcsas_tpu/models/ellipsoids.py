@@ -24,17 +24,64 @@ def _ell_iso_rc(p):
     return jnp.where(p["useAspect"] != 0.0, p["a"] * p["aspect"], p["c"])
 
 
+def _ell_iso_ff_uv(u, v, n, dtype, _ff=sphere_ff):
+    """The orientation average as a pure function of the scale invariants
+    u = q·a, v = q·c (elementwise in u, v; quadrature on the last axis)."""
+    alpha = jnp.asarray(np.linspace(0.0, math.pi / 2.0, n), dtype=dtype)
+    sin_a = jnp.sin(alpha)
+    cos_a = jnp.cos(alpha)
+    u = jnp.asarray(u, dtype)
+    v = jnp.asarray(v, dtype)
+    x_plug = jnp.sqrt((u[..., None] * sin_a) ** 2
+                      + (v[..., None] * cos_a) ** 2)
+    fsplit = _ff(x_plug)
+    return jnp.sqrt(jnp.mean(fsplit * fsplit * sin_a, axis=-1))
+
+
 def _ell_iso_ff(q, p, _ff=sphere_ff):
     """Orientation-averaged spheroid a=b, c (Pedersen 1997; reference:
     ellipsoidsisotropic.py:51-71): plug r(α)=√(a²sin²α+c²cos²α) into the
     Rayleigh function and average F²·sin α over α ∈ [0, π/2]."""
-    n = int(p["intDiv"])
-    alpha = jnp.asarray(np.linspace(0.0, math.pi / 2.0, n), dtype=q.dtype)
-    rc = _ell_iso_rc(p)
-    r_plug = jnp.sqrt(p["a"] ** 2 * jnp.sin(alpha) ** 2
-                      + rc ** 2 * jnp.cos(alpha) ** 2)
-    fsplit = _ff(jnp.outer(q, r_plug))
-    return jnp.sqrt(jnp.mean(fsplit ** 2 * jnp.sin(alpha)[None, :], axis=1))
+    return _ell_iso_ff_uv(q * p["a"], q * _ell_iso_rc(p),
+                          int(p["intDiv"]), q.dtype, _ff=_ff)
+
+
+def _ell_iso_table_factory(bound, q_grid, dtype):
+    """Fit-grade parameter-grid row table for the float32 MC loop (see
+    ops/tables.py::ParamTable); built with a converged α-rule (target the
+    true orientation integral, not the reference's intDiv=100
+    discretization of it)."""
+    from ..ops import tables
+    fixed = dict(bound.fixed)
+    if "useAspect" not in fixed:
+        return None
+    n = max(801, int(fixed.get("intDiv", 100)))
+    rele = (("a", "aspect") if fixed["useAspect"] != 0.0 else ("a", "c"))
+    tab_params = tuple(p for p in bound.active if p in rele)
+    res = {0: (), 1: (4096,), 2: (512, 64)}[len(tab_params)]
+    grids = [tables.log_grid(*tables.param_product_range(bound, p), nn)
+             for p, nn in zip(tab_params, res)]
+    q32 = jnp.asarray(np.asarray(q_grid), dtype)
+
+    def row_fn(vals):
+        p = dict(fixed)
+        for i, name in enumerate(tab_params):
+            p[name] = vals[i]
+        for name in bound.active:
+            p.setdefault(name, 1.0)
+        return _ell_iso_ff_uv(q32 * p["a"], q32 * _ell_iso_rc(p), n,
+                              dtype)
+
+    key = ("EllipsoidsIsotropic", n, tab_params, len(q32),
+           float(np.asarray(q_grid).sum()))
+    tab = tables.build_param_table(row_fn, grids, dtype, cache_key=key)
+
+    def ff(q, p):
+        # valid only on the baked fit grid (the engine always passes it)
+        return tables.lookup_param_table(
+            tab, [p[name] for name in tab_params])
+
+    return ff
 
 
 def _ell_iso_volume(p):
@@ -63,6 +110,7 @@ EllipsoidsIsotropic = SASModel(
     ),
     ff=_ell_iso_ff,
     ff_fast=lambda q, p: _ell_iso_ff(q, p, _ff=sphere_ff_fast),
+    ff_table_factory=_ell_iso_table_factory,
     volume=_ell_iso_volume,
     absvolume=lambda p: _ell_iso_volume(p) * p["sld"] ** 2,
     default_active=("a",),

@@ -36,6 +36,11 @@ def _state_specs() -> RepState:
 class ShardedEnsemble(McSASEngine):
     """McSASEngine whose ensemble runs SPMD over a device mesh."""
 
+    # ParamTable rows are baked against the unsharded fit grid; under
+    # q-axis sharding each device sees a grid shard, so the table tier
+    # is disabled here (the exact/ff_fast kernels shard naturally)
+    _allow_table = False
+
     def __init__(self, data: SASData, bound: BoundModel, cfg: McSASConfig,
                  mesh=None, mesh_shape=None):
         self.mesh = mesh if mesh is not None else make_mesh(mesh_shape)

@@ -156,11 +156,18 @@ def _banks_f64(bound: BoundModel, data: SASData, cfg: McSASConfig,
     """(R, N, Nq) SI intensity banks + per-contribution properties for the
     whole ensemble in one batched float64 evaluation."""
     comp_exp = cfg.compensation_exponent
-    smearing = data.uses_smearing and bound.model.can_smear
+    two_d = data.psi is not None and bound.model.ff2d is not None
+    smearing = (data.uses_smearing and bound.model.can_smear
+                and not two_d)
     grid = data.locs if smearing else data.q
 
     def row(pvec):
-        ffv = bound.ff(jnp.asarray(grid), pvec)
+        if two_d:
+            ffv = bound.model.ff2d(jnp.asarray(grid),
+                                   jnp.asarray(data.psi),
+                                   bound.pdict(pvec))
+        else:
+            ffv = bound.ff(jnp.asarray(grid), pvec)
         w = bound.volume(pvec) ** (2.0 * comp_exp)
         if smearing:
             it = (ffv * ffv) @ jnp.asarray(data.smear_w) * w

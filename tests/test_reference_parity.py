@@ -70,12 +70,11 @@ def reference_style_mcfit(d, rng, comp2):
     return rset, conval
 
 
-@pytest.mark.parametrize("dataset", ["sasfit_sphere-10-1.dat"])
-def test_distribution_parity(refdata, dataset):
-    d = data.load(refdata / dataset)
+@pytest.fixture(scope="module")
+def reference_run(refdata):
+    """One shared numpy-reference ensemble + its volume histogram."""
+    d = data.load(refdata / "sasfit_sphere-10-1.dat")
     comp2 = 2 * 0.6666666
-
-    # --- reference-style numpy runs ------------------------------------
     rng = np.random.default_rng(123)
     ref_sets, ref_conv = [], []
     for _ in range(N_REPS):
@@ -83,30 +82,44 @@ def test_distribution_parity(refdata, dataset):
         ref_sets.append(rset)
         ref_conv.append(conval)
     assert max(ref_conv) <= CRIT, "numpy reference failed to converge"
-
-    # --- engine runs -----------------------------------------------------
     bound = get_model("Sphere").bind(active_ranges={"radius": (R_LO, R_HI)})
     cfg = McSASConfig(num_contribs=N_CONTRIBS, num_reps=N_REPS,
-                      max_iterations=MAX_ITER, chunk_steps=2000,
-                      candidates_per_step=1, seed=77, max_retries=1,
+                      max_iterations=MAX_ITER,
                       convergence_criterion=CRIT)
+    spec = HistogramSpec("radius", R_LO, R_HI, bin_count=BINS,
+                         auto_follow=False).resolved(bound)
+    ref_contribs = np.stack(ref_sets)[:, :, None]     # (R, N, 1)
+    _, hists_ref = histogram_all(ref_contribs, d, bound, cfg, [spec])
+    y_ref = hists_ref[0].bins.mean
+    return d, bound, spec, y_ref / y_ref.sum()
+
+
+# the engine configurations certified against the reference semantics:
+# K=1 (exact reference stepping), K=128 (the headline-bench best-of-K
+# accept), and the opt-in local-move proposal mix — VERDICT r1 item 6
+ENGINE_VARIANTS = {
+    "k1": dict(candidates_per_step=1),
+    "k128": dict(candidates_per_step=128),
+    "local-moves": dict(candidates_per_step=8, local_moves=0.5),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(ENGINE_VARIANTS))
+def test_distribution_parity(reference_run, variant):
+    d, bound, spec, y_ref = reference_run
+    cfg = McSASConfig(num_contribs=N_CONTRIBS, num_reps=N_REPS,
+                      max_iterations=MAX_ITER, chunk_steps=2000,
+                      seed=77, max_retries=1,
+                      convergence_criterion=CRIT,
+                      **ENGINE_VARIANTS[variant])
     eng = McSASEngine(d, bound, cfg)
     res = eng.run()
     assert res.converged.all()
 
     # --- compare volume-weighted histograms ----------------------------
-    spec = HistogramSpec("radius", R_LO, R_HI, bin_count=BINS,
-                         auto_follow=False).resolved(bound)
     _, hists_eng = histogram_all(res.contribs, d, bound, cfg, [spec])
     y_eng = hists_eng[0].bins.mean
-
-    ref_contribs = np.stack(ref_sets)[:, :, None]     # (R, N, 1)
-    _, hists_ref = histogram_all(ref_contribs, d, bound, cfg, [spec])
-    y_ref = hists_ref[0].bins.mean
-
-    # normalize both to unit total volume fraction, compare bar heights
     y_eng = y_eng / y_eng.sum()
-    y_ref = y_ref / y_ref.sum()
     # reference regression tolerance style: 0.2 absolute on normalized bars
     np.testing.assert_allclose(y_eng, y_ref, atol=0.2)
     # the dominant bin must agree

@@ -50,18 +50,16 @@ def test_dp_matches_vmap(setup, baseline, cpus):
 
 
 def test_q_sharded_matches_vmap(setup, baseline, cpus):
-    """q-axis sharding changes only the reduction association; results must
-    agree to float32 reduction tolerance."""
+    """q-axis sharding must not change any accept decision: the solve
+    reductions accumulate in float64 (fitcore.solve_scale_bg), so the
+    psum association difference is ~1e-16 relative and vanishes in the
+    float32 rounding of the returned scalars — contributions are exactly
+    equal to the unsharded run."""
     d, bound, cfg = setup
     se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((4, 2), cpus))
     res = se.run()
-    # float32 reduction order differs across the psum split; a borderline
-    # accept can flip and that rep's trajectory then diverges — require
-    # close agreement in aggregate, not bitwise identity
-    np.testing.assert_allclose(res.conval, baseline.conval, rtol=0.10)
-    frac_equal = np.mean(np.isclose(res.contribs, baseline.contribs,
-                                    rtol=1e-5))
-    assert frac_equal > 0.7
+    np.testing.assert_array_equal(res.contribs, baseline.contribs)
+    np.testing.assert_allclose(res.conval, baseline.conval, rtol=1e-5)
     assert res.measval.shape == baseline.measval.shape
 
 

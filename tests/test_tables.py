@@ -1,0 +1,158 @@
+# -*- coding: utf-8 -*-
+"""Scale-invariant form-factor tables (ops/tables.py): interpolation
+primitives, per-model fit-grade accuracy vs the converged quadrature, and
+engine integration."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcsas_tpu import data
+from mcsas_tpu.config import McSASConfig
+from mcsas_tpu.core.engine import McSASEngine
+from mcsas_tpu.models import get_model
+from mcsas_tpu.ops import tables
+
+NM = 1e-9
+Q = np.geomspace(1.05e6, 9.64e9, 100)   # the sasfit_sphere SI q grid
+
+
+def test_interp2d_exact_for_loglinear():
+    """Bilinear in log coords reproduces functions linear in (ln a, ln b)
+    exactly (up to f32 round-off)."""
+    a_grid = tables.log_grid(1e-3, 1e3, 64)
+    b_grid = tables.log_grid(1e-2, 1e2, 32)
+    f = lambda a, b: 2.0 + 0.5 * np.log(a) - 0.25 * np.log(b)  # noqa: E731
+    vals = f(a_grid[:, None], b_grid[None, :])
+    tab = tables.from_grids(vals, a_grid, b_grid)
+    rng = np.random.default_rng(1)
+    a = np.exp(rng.uniform(np.log(1e-3), np.log(1e3), 200))
+    b = np.exp(rng.uniform(np.log(1e-2), np.log(1e2), 200))
+    got = np.asarray(tables.interp2d(tab, jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, f(a, b), rtol=0, atol=2e-5)
+
+
+def test_interp2d_clamps_at_domain_edges():
+    a_grid = tables.log_grid(1.0, 10.0, 16)
+    b_grid = tables.log_grid(1.0, 10.0, 16)
+    vals = np.log(a_grid)[:, None] + np.log(b_grid)[None, :]
+    tab = tables.from_grids(vals, a_grid, b_grid)
+    inside = float(tables.interp2d(tab, 10.0, 10.0))
+    outside = float(tables.interp2d(tab, 1e6, 1e6))
+    below = float(tables.interp2d(tab, 1e-6, 1e-6))
+    assert outside == pytest.approx(inside, rel=1e-5)
+    assert below == pytest.approx(float(vals[0, 0]), abs=1e-5)
+
+
+def _rel_err_vs(exact_sq, approx_sq):
+    floor = 1e-6 * exact_sq.max(axis=-1, keepdims=True)
+    return (np.abs(approx_sq - exact_sq)
+            / (np.abs(exact_sq) + floor)).ravel()
+
+
+def _table_errs(model_name, active, ranges, exact_fn, n_trial=100):
+    m = get_model(model_name)
+    bound = m.bind(active=active, active_ranges=ranges)
+    tab_ff = m.ff_table_factory(bound, Q, jnp.float32)
+    assert tab_ff is not None
+    rng = np.random.default_rng(7)
+    vals = np.stack([[np.exp(rng.uniform(np.log(max(lo, 1e-12)),
+                                         np.log(hi)))
+                      for lo, hi in bound.ranges] for _ in range(n_trial)])
+    q64, q32 = jnp.asarray(Q), jnp.asarray(Q, jnp.float32)
+    exact = np.asarray(jax.jit(jax.vmap(
+        lambda v: exact_fn(q64, bound.pdict(v))))(jnp.asarray(vals)))
+    approx = np.asarray(jax.jit(jax.vmap(
+        lambda v: tab_ff(q32, bound.pdict(v))))(
+            jnp.asarray(vals, jnp.float32)))
+    return _rel_err_vs(exact.astype(np.float64) ** 2,
+                       approx.astype(np.float64) ** 2)
+
+
+def test_cylinder_table_accuracy():
+    """Table vs the converged (n=801) orientation integral: the model's
+    own intDiv=100 trapezoid carries up to ~20% discretization noise at
+    qR in [10, 100], so the converged rule is the accuracy reference."""
+    from mcsas_tpu.models.cylinders import _cyl_iso_ff_ab
+
+    def exact(q, p):
+        half = jnp.where(p["useAspect"] != 0.0,
+                         p["radius"] * p["aspect"], 0.5 * p["length"])
+        return _cyl_iso_ff_ab(q * p["radius"], q * 2.0 * half, 801,
+                              jnp.float64)
+
+    errs = _table_errs("CylindersIsotropic", ("radius",),
+                       {"radius": (0.5 * NM, 300 * NM)}, exact)
+    assert np.median(errs) < 1e-3
+    assert np.percentile(errs, 90) < 5e-2
+    assert np.percentile(errs, 99) < 2e-1
+
+
+def test_ellipsoid_table_accuracy():
+    from mcsas_tpu.models.ellipsoids import _ell_iso_ff_uv, _ell_iso_rc
+
+    def exact(q, p):
+        return _ell_iso_ff_uv(q * p["a"], q * _ell_iso_rc(p), 801,
+                              jnp.float64)
+
+    errs = _table_errs("EllipsoidsIsotropic", ("a",),
+                       {"a": (0.5 * NM, 300 * NM)}, exact)
+    assert np.median(errs) < 1e-3
+    assert np.percentile(errs, 90) < 1e-2
+    assert np.percentile(errs, 99) < 1e-1
+
+
+def test_kholodenko_table_accuracy():
+    m = get_model("Kholodenko")
+    errs = _table_errs("Kholodenko",
+                       ("radius", "lenKuhn", "lenContour"), None, m.ff)
+    assert np.median(errs) < 1e-3
+    assert np.percentile(errs, 90) < 1e-2
+    assert np.percentile(errs, 99) < 2e-1
+
+
+def test_table_auto_gating():
+    tiny = McSASConfig(num_reps=2, max_iterations=1000)
+    big = McSASConfig(num_reps=10, max_iterations=100000)
+    assert not tiny.table_ff_enabled()
+    assert big.table_ff_enabled()
+    assert tiny.replace(table_ff="on").table_ff_enabled()
+    assert not big.replace(table_ff="off").table_ff_enabled()
+
+
+@pytest.fixture(scope="module")
+def sphere_data(refdata):
+    return data.load(refdata / "sasfit_sphere-10-1.dat")
+
+
+def test_engine_with_table_descends(sphere_data):
+    """CylindersIsotropic on the table path: χ² descends, counters move,
+    single-launch drive is active."""
+    cfg = McSASConfig(num_contribs=25, num_reps=2, max_iterations=2000,
+                      chunk_steps=250, candidates_per_step=4, seed=3,
+                      max_retries=0, show_incomplete=True, table_ff="on")
+    bound = get_model("CylindersIsotropic").bind(
+        active=("radius",), active_ranges={"radius": (0.5 * NM, 300 * NM)})
+    eng = McSASEngine(sphere_data, bound, cfg)
+    assert eng.uses_table
+    # table bodies use the host chunk loop (a single long launch would
+    # trip the remote worker watchdog)
+    assert eng._drive is None
+    state = eng._init_batch(jax.random.split(jax.random.PRNGKey(0), 2))
+    chi0 = np.asarray(state.conval)
+    res = eng.run()
+    assert np.all(np.isfinite(res.conval))
+    assert np.all(res.conval <= chi0 + 1e-6)
+    assert res.n_moves.min() > 0
+
+
+def test_engine_table_off_matches_legacy_path(sphere_data):
+    cfg = McSASConfig(num_contribs=10, num_reps=1, max_iterations=200,
+                      chunk_steps=100, candidates_per_step=2, seed=3,
+                      max_retries=0, show_incomplete=True, table_ff="off")
+    bound = get_model("CylindersIsotropic").bind(
+        active=("radius",), active_ranges={"radius": (0.5 * NM, 300 * NM)})
+    eng = McSASEngine(sphere_data, bound, cfg)
+    assert not eng.uses_table
+    res = eng.run()
+    assert np.all(np.isfinite(res.conval))

@@ -1,0 +1,93 @@
+# -*- coding: utf-8 -*-
+"""On-hardware validation of the fused Pallas kernel (slow battery).
+
+The default suite exercises the kernel in interpreter mode with a
+stand-in hash RNG (ops/mc_kernel.py); these tests run the real
+compiled kernel with the TPU hardware PRNG and close that gap:
+χ² descent on-chip, range respect, and a two-sample KS match of the
+accepted-parameter distribution against the XLA (threefry) path.
+
+Run with MCSAS_TPU_SLOW_TESTS=1 on a machine with a TPU attached; never
+in the default CPU suite (and never concurrently with another TPU
+process — the remote chip link serializes).
+"""
+import os
+
+import numpy as np
+import pytest
+
+slow = pytest.mark.skipif(
+    os.environ.get("MCSAS_TPU_SLOW_TESTS", "") != "1",
+    reason="set MCSAS_TPU_SLOW_TESTS=1 to run the on-TPU battery")
+
+import jax  # noqa: E402
+
+from mcsas_tpu import data  # noqa: E402
+from mcsas_tpu.config import McSASConfig  # noqa: E402
+from mcsas_tpu.core.engine import McSASEngine  # noqa: E402
+from mcsas_tpu.models import get_model  # noqa: E402
+
+
+def _tpu_device():
+    try:
+        devs = [d for d in jax.devices() if d.platform == "tpu"]
+    except RuntimeError:
+        return None
+    return devs[0] if devs else None
+
+
+@pytest.fixture()
+def on_tpu():
+    dev = _tpu_device()
+    if dev is None:
+        pytest.skip("no TPU device attached")
+    prev = jax.config.jax_default_device
+    jax.config.update("jax_default_device", dev)
+    try:
+        yield dev
+    finally:
+        jax.config.update("jax_default_device", prev)
+
+
+def ks_two_sample(a, b) -> float:
+    """Two-sample Kolmogorov-Smirnov D statistic (no scipy)."""
+    a = np.sort(np.asarray(a).ravel())
+    b = np.sort(np.asarray(b).ravel())
+    grid = np.concatenate([a, b])
+    cdf_a = np.searchsorted(a, grid, side="right") / len(a)
+    cdf_b = np.searchsorted(b, grid, side="right") / len(b)
+    return float(np.max(np.abs(cdf_a - cdf_b)))
+
+
+@slow
+def test_hw_kernel_descends_and_matches_xla(refdata, on_tpu):
+    d = data.load(refdata / "sasfit_sphere-10-1.dat")
+    bound = get_model("Sphere").bind()
+    base = dict(num_contribs=100, num_reps=4, max_iterations=400_000,
+                chunk_steps=1024, candidates_per_step=16, seed=31,
+                max_retries=1, show_incomplete=True)
+    r_pal = McSASEngine(d, bound, McSASConfig(use_pallas="on",
+                                              **base)).run()
+    r_xla = McSASEngine(d, bound, McSASConfig(use_pallas="off",
+                                              **base)).run()
+
+    # χ² descent to convergence on the real chip with the HW PRNG
+    assert np.all(np.isfinite(r_pal.conval))
+    assert r_pal.converged.sum() >= 3
+    assert r_pal.n_moves.min() > 0
+
+    # range respect (HW-PRNG proposals clipped/transformed correctly)
+    lo, hi = bound.ranges[0]
+    assert r_pal.contribs.min() >= lo - 1e-15
+    assert r_pal.contribs.max() <= hi * (1 + 1e-6)
+
+    # accepted-parameter distribution: HW PRNG vs threefry (different
+    # streams, same semantics) — two-sample KS on pooled log-radii.
+    # n = 400 per side → 5% critical D ≈ 0.096; allow ensemble variance.
+    d_stat = ks_two_sample(np.log(r_pal.contribs),
+                           np.log(r_xla.contribs))
+    assert d_stat < 0.2, f"KS D={d_stat:.3f}"
+
+    # fitted curves agree where the data constrains them
+    rel = np.abs(r_pal.measval.mean(0) / r_xla.measval.mean(0) - 1.0)
+    assert np.median(rel) < 0.05
