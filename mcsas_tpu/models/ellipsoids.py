@@ -160,6 +160,46 @@ SphericalCoreShell = SASModel(
 
 # ----------------------------------------------- EllipsoidalCoreShell
 
+def _ell_cs_table_factory(bound, q_grid, dtype):
+    """Fit-grade parameter-grid row table over the active size parameters
+    (a, b, t) — up to trilinear (2³ row gathers); SLDs are never fittable
+    and fold into the build."""
+    from ..ops import tables
+    fixed = dict(bound.fixed)
+    # the μ-integrand is smooth (no endpoint singularity): n=201 is
+    # converged to ~1e-3 and keeps the trilinear build affordable
+    n = max(201, int(fixed.get("intDiv", 100)))
+    rele = ("a", "b", "t")
+    tab_params = tuple(p for p in bound.active if p in rele)
+    # P=2 spends resolution evenly: shell-thickness phase error dominates
+    # the core-shell oscillation, so t needs the same density as a
+    res = {0: (), 1: (4096,), 2: (384, 256),
+           3: (128, 64, 48)}[len(tab_params)]
+    grids = [tables.log_grid(*tables.param_product_range(bound, p), nn)
+             for p, nn in zip(tab_params, res)]
+    q32 = jnp.asarray(np.asarray(q_grid), dtype)
+
+    def row_fn(vals):
+        p = dict(fixed)
+        p["intDiv"] = n          # converged μ-rule for the one-time build
+        for i, name in enumerate(tab_params):
+            p[name] = vals[i]
+        return _ell_cs_ff(q32, p)
+
+    key = ("EllipsoidalCoreShell", n, tab_params, len(q32),
+           float(np.asarray(q_grid).sum()),
+           tuple(sorted(fixed.items())))
+    tab = tables.build_param_table(row_fn, grids, dtype, block=128,
+                                   cache_key=key)
+
+    def ff(q, p):
+        # valid only on the baked fit grid (the engine always passes it)
+        return tables.lookup_param_table(
+            tab, [p[name] for name in tab_params])
+
+    return ff
+
+
 def _ell_cs_ff(q, p, _ff=sphere_ff):
     """Core-shell ellipsoid (SASfit §3.2.3; reference:
     ellipsoidalcoreshell.py:59-90): orientation average over μ ∈ [0, 1] of
@@ -202,6 +242,7 @@ EllipsoidalCoreShell = SASModel(
     ),
     ff=_ell_cs_ff,
     ff_fast=lambda q, p: _ell_cs_ff(q, p, _ff=sphere_ff_fast),
+    ff_table_factory=_ell_cs_table_factory,
     volume=lambda p: _PI43 * (p["a"] + p["t"]) * (p["b"] + p["t"]) ** 2,
     default_active=("a",),
 )

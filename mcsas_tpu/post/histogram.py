@@ -311,27 +311,33 @@ def compute_histogram(spec: HistogramSpec, contribs: np.ndarray,
     b = spec.bin_count
     edges = _edges(spec)
 
-    bins = np.zeros((b, n_reps))
-    obs = np.zeros((b, n_reps))
-    cdf = np.zeros((b, n_reps))
-    for ri in range(n_reps):
-        idx_in_bin = [
-            (values[:, ri] >= edges[i]) & (values[:, ri] < edges[i + 1])
-            for i in range(b)]
-        for i, m in enumerate(idx_in_bin):
-            val = frac[m, ri].sum()
-            bins[i, ri] = 0.0 if np.isnan(val) else val
-            obs[i, ri] = minreq[m, ri].mean() if m.any() else 0.0
-        c = np.cumsum(bins[:, ri])
-        cdf[:, ri] = c / c[-1] if c[-1] != 0.0 else 0.0
+    # vectorized masked segment sums over (bin, rep) — the reference
+    # loops per repetition per bin (utils/parameter.py:440-479), which
+    # crawls at the 1e6-contribution scale the reference nominally allows
+    idx = np.digitize(values, edges) - 1               # (N, R)
+    in_range = (idx >= 0) & (idx < b)
+    rep_ix = np.broadcast_to(np.arange(n_reps), (n, n_reps))
+    flat = (rep_ix * b + np.clip(idx, 0, b - 1))[in_range]
+    size = b * n_reps
+
+    def segsum(w):
+        return np.bincount(flat, weights=w[in_range],
+                           minlength=size).reshape(n_reps, b).T
+
+    bins = np.nan_to_num(segsum(frac), nan=0.0)
+    counts = np.bincount(flat, minlength=size).reshape(n_reps, b).T
+    with np.errstate(invalid="ignore"):
+        obs = np.where(counts > 0,
+                       segsum(minreq) / np.maximum(counts, 1), 0.0)
+    c = np.cumsum(bins, axis=0)
+    last = np.where(c[-1] != 0.0, c[-1], 1.0)
+    cdf = np.where(c[-1] != 0.0, c / last, 0.0)
 
     # observability: per-bin max over reps, ignoring infs
     # (reference: utils/parameter.py:398-409)
-    observability = np.zeros(b)
-    for i in range(b):
-        finite = obs[i][obs[i] < np.inf]
-        if finite.size:
-            observability[i] = finite.max()
+    obs_f = np.where(obs < np.inf, obs, -np.inf)
+    mx = obs_f.max(axis=1, initial=-np.inf)
+    observability = np.where(np.isfinite(mx), mx, 0.0)
 
     return HistogramResult(
         spec=spec,
