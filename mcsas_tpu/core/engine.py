@@ -281,6 +281,19 @@ class McSASEngine:
 
             self._drive = jax.jit(drive)
 
+            # first attempt fused with initialization: init + whole-attempt
+            # while_loop in ONE device launch (one less remote RTT)
+            def init_drive(keys, ri, grid, consts):
+                state = jax.vmap(
+                    lambda k: self._init_rep(k, grid, consts))(keys)
+                return drive(state, ri)
+
+            _init_drive = jax.jit(init_drive)
+            self._init_drive = lambda keys, ri: _init_drive(
+                keys, ri, self.grid, self.consts)
+        else:
+            self._init_drive = None
+
     def _pallas_eligible(self) -> bool:
         mode = getattr(self.cfg, "use_pallas", "off")
         if mode == "off" or type(self) is not McSASEngine:
@@ -468,10 +481,7 @@ class McSASEngine:
         cfg = self.cfg
         n_reps = cfg.num_reps
         keys = jax.random.split(jax.random.PRNGKey(cfg.seed), 2 * n_reps)
-        state = self._init_batch(keys[:n_reps])
         ri = jnp.zeros((), jnp.int32)
-        if self.sharding is not None:
-            state = jax.device_put(state, self.sharding)
         attempts = np.ones(n_reps, dtype=np.int64)
         retry_key = keys[-1]
         max_attempts = cfg.max_retries + 2   # reference retry budget
@@ -479,16 +489,29 @@ class McSASEngine:
         t0 = time.perf_counter()
 
         # without cooperative-abort/progress hooks, the whole attempt runs
-        # as ONE device launch (while_loop over chunks) — no per-chunk RTT
-        step_fn = (self._drive
-                   if (self._drive is not None and stop is None
-                       and progress is None)
-                   else self._chunk_batch)
+        # as ONE device launch (while_loop over chunks) — no per-chunk
+        # RTT — and the FIRST attempt additionally fuses initialization
+        # into that launch
+        drive_mode = (self._drive is not None and stop is None
+                      and progress is None and self.sharding is None)
+        step_fn = self._drive if drive_mode else self._chunk_batch
+        if drive_mode:
+            state, ri = self._init_drive(keys[:n_reps], ri)
+            primed = True
+        else:
+            state = self._init_batch(keys[:n_reps])
+            if self.sharding is not None:
+                state = jax.device_put(state, self.sharding)
+            primed = False
         prev_iter = None
         while True:
-            state, ri = step_fn(state, ri)
-            conval = np.asarray(state.conval, dtype=np.float64)
-            n_iter = np.asarray(state.n_iter, dtype=np.int64)
+            if not primed:
+                state, ri = step_fn(state, ri)
+            primed = False
+            fetched = jax.device_get(dict(conval=state.conval,
+                                          n_iter=state.n_iter))
+            conval = np.asarray(fetched["conval"], dtype=np.float64)
+            n_iter = np.asarray(fetched["n_iter"], dtype=np.int64)
             converged = conval <= cfg.convergence_criterion
             # non-finite χ² (e.g. unbounded parameter ranges → inf
             # proposals) or a stalled counter can never converge: treat as

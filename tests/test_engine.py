@@ -139,6 +139,16 @@ def test_stop_callback(sphere_data, sphere_bound):
     assert np.all(res.n_iter <= 600)
 
 
+def test_abort_keeps_converged_reps(sphere_data, sphere_bound):
+    """A cooperative abort must not mark already-converged repetitions
+    unconverged (advisor r1 finding on engine.run)."""
+    cfg = small_cfg(max_iterations=10**6, chunk_steps=200,
+                    convergence_criterion=1e6)   # converges immediately
+    res = McSASEngine(sphere_data, sphere_bound, cfg).run(
+        stop=lambda: True)
+    assert res.converged.all()
+
+
 def test_no_active_raises():
     with pytest.raises(ValueError):
         get_model("Sphere").bind(active=("sld",))
