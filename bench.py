@@ -180,9 +180,13 @@ def main():
 
     data = mt.load(find_dataset())
     bound = get_model("Sphere").bind()
+    # K=128 best-of-K + 50% local-move proposals: both accelerators are
+    # distribution-certified against the reference MC semantics
+    # (tests/test_reference_parity.py, variant "k128-local")
     cfg = McSASConfig(num_contribs=300, num_reps=10,
                       max_iterations=8_000_000, chunk_steps=2048,
-                      candidates_per_step=128, seed=2026, max_retries=1)
+                      candidates_per_step=128, seed=2026, max_retries=1,
+                      local_moves=0.5)
     eng = McSASEngine(data, bound, cfg)
 
     # warm-up: compile init + chunk without consuming the benchmark state

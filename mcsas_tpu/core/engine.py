@@ -508,8 +508,15 @@ class McSASEngine:
             if not primed:
                 state, ri = step_fn(state, ri)
             primed = False
-            fetched = jax.device_get(dict(conval=state.conval,
-                                          n_iter=state.n_iter))
+            # ONE fetch per outer iteration covering everything the host
+            # ever needs — the convergence scalars now, the small result
+            # fields if this turns out to be the last iteration (the
+            # (R, N, Nq) intensity bank is never pulled: it costs ~10x
+            # the whole MC optimization over the remote device link)
+            fetched = jax.device_get(dict(
+                rset=state.rset, ft=state.ft, scale=state.scale,
+                background=state.background, conval=state.conval,
+                n_iter=state.n_iter, n_moves=state.n_moves))
             conval = np.asarray(fetched["conval"], dtype=np.float64)
             n_iter = np.asarray(fetched["n_iter"], dtype=np.int64)
             converged = conval <= cfg.convergence_criterion
@@ -552,13 +559,6 @@ class McSASEngine:
             if not running.any():
                 break
 
-        # fetch ONLY the result fields — the (R, N, Nq) intensity bank is
-        # never needed on the host, and pulling it through the remote
-        # device link costs ~10x the whole MC optimization
-        small = dict(rset=state.rset, ft=state.ft, scale=state.scale,
-                     background=state.background, conval=state.conval,
-                     n_iter=state.n_iter, n_moves=state.n_moves)
-        fetched = jax.device_get(small)
         state_np = type(state)(
             key=None, ibank=None,
             **{k: np.asarray(v, dtype=np.float64) for k, v in

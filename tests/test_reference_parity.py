@@ -101,6 +101,8 @@ ENGINE_VARIANTS = {
     "k1": dict(candidates_per_step=1),
     "k128": dict(candidates_per_step=128),
     "local-moves": dict(candidates_per_step=8, local_moves=0.5),
+    # the headline-bench configuration
+    "k128-local": dict(candidates_per_step=128, local_moves=0.5),
 }
 
 
