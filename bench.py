@@ -96,7 +96,7 @@ def suite():
         ("gaussian-chain", f"{ref}/sasfit_gauss2-5-1.5-2-1.dat",
          "GaussianChain", None, None, 1.0, 64, 4_000_000),
         ("kholodenko-worm", f"{ref}/sasfit_kho-1-10-1000.dat",
-         "Kholodenko", None, None, 1.0, 64, 4_000_000),
+         "Kholodenko", None, None, 1.0, 128, 12_000_000),
         ("cylinders-isotropic", "synth:cylinder",
          "CylindersIsotropic", ("radius",),
          {"radius": (0.5 * nm, 300 * nm)}, 1.0, 128, 8_000_000),

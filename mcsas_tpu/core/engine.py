@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import math
 import time
 from dataclasses import dataclass
 from typing import Callable, NamedTuple, Optional
@@ -187,6 +188,19 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
             model_ff = table_ff
             used_table = True
 
+    # float32 overflow guard: candidate rows at extreme range corners can
+    # reach (v/v_ref)^(2c)·(ff/ff_ref)² ≈ 1e20, and the solve's Σu·x²
+    # then overflows float32 (inf/inf → NaN scale), killing the whole
+    # repetition.  Such candidates are astronomically unfittable anyway,
+    # so clamping the row magnitude below the overflow threshold changes
+    # no accept decision — it only keeps their χ² finite (huge).
+    sigma = np.asarray(data.fu, np.float64).copy()
+    sigma[sigma == 0.0] = 1.0
+    u_max = float(np.max(1.0 / sigma ** 2))
+    n_grid = float(np.asarray(data.q).shape[0])
+    row_clamp = math.sqrt(3e37 / (max(u_max, 1e-300) * n_grid))
+    row_clamp = max(row_clamp, 1e3)   # stay far above the working range
+
     def intensity_row(grid, pvec):
         if two_d:
             ffv = bound.model.ff2d(grid[:, 0], grid[:, 1],
@@ -195,8 +209,10 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
             ffv = model_ff(grid, bound.pdict(pvec))
         w = weight_norm(pvec) * inv_i_ref
         if smearing:
-            return (ffv * ffv) @ smear_w * w
-        return ffv * ffv * w
+            row = (ffv * ffv) @ smear_w * w
+        else:
+            row = ffv * ffv * w
+        return jnp.minimum(row, row_clamp)
 
     return (intensity_row, full_grid, v_ref ** (2.0 * comp_exp) * i_ref,
             used_table)

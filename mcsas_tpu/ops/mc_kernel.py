@@ -135,6 +135,12 @@ def build_chunk_fn(engine, interpret=None):
     model_ff = bound.model.ff
     if bound.model.ff_fast is not None:
         model_ff = bound.model.ff_fast
+    # identical float32 overflow guard as make_intensity_kernels
+    sigma = np.asarray(engine.data.fu, np.float64).copy()
+    sigma[sigma == 0.0] = 1.0
+    row_clamp = float(max(
+        (3e37 / (max(float(np.max(1.0 / sigma ** 2)), 1e-300)
+                 * float(engine.data.count))) ** 0.5, 1e3))
 
     def kernel(q_ref, y_ref, u_ref, sc_ref, ranges_ref, seed_ref, ri_ref,
                rset_in, ibank_in, ft_in, fstate_in, istate_in,
@@ -207,7 +213,8 @@ def build_chunk_fn(engine, interpret=None):
             if not hasattr(vol, "ndim") or vol.ndim == 0:
                 vol = jnp.full((n_reps, k_cand, 1), vol, jnp.float32)
             w = (vol / v_ref) ** comp2 * jnp.float32(inv_i_ref)
-            rows = ffv * ffv * w                       # (R, K, nq)
+            rows = jnp.minimum(ffv * ffv * w,
+                               jnp.float32(row_clamp))  # (R, K, nq)
 
             # ---- incremental totals and closed-form solve per candidate
             old_row = ibank_ref[:, pl.ds(ri, 1), :]    # (R, 1, nq)

@@ -139,6 +139,25 @@ def test_stop_callback(sphere_data, sphere_bound):
     assert np.all(res.n_iter <= 600)
 
 
+def test_extreme_ranges_stay_finite():
+    """Candidate rows at extreme range corners must not overflow the
+    float32 solve into NaN (row clamp in make_intensity_kernels): a
+    many-decade intensity span plus volume ranges ~1e6 wide previously
+    produced inf·0 → NaN χ² that killed whole repetitions."""
+    from mcsas_tpu.data import DataConfig, from_raw
+    q = np.geomspace(0.01, 2.0, 60)
+    i = 1.0 / (1.0 + (q * 30) ** 4)          # ~8 decades of dynamic range
+    raw = np.column_stack([q, i, 0.01 * i])
+    d = from_raw(raw, title="steep", config=DataConfig(n_bin=0))
+    bound = get_model("EllipsoidalCoreShell").bind(
+        active=("a", "b", "t"))               # default (huge) ranges
+    cfg = McSASConfig(num_contribs=20, num_reps=2, max_iterations=2000,
+                      chunk_steps=250, candidates_per_step=4, seed=13,
+                      max_retries=0, show_incomplete=True, table_ff="off")
+    res = McSASEngine(d, bound, cfg).run()
+    assert np.all(np.isfinite(res.conval))
+
+
 def test_abort_keeps_converged_reps(sphere_data, sphere_bound):
     """A cooperative abort must not mark already-converged repetitions
     unconverged (advisor r1 finding on engine.run)."""
