@@ -93,6 +93,31 @@ def test_pallas_rep_sharding(setup, cpus):
     assert res.contribs.max() <= hi * (1 + 1e-6)
 
 
+slow = pytest.mark.skipif(
+    __import__("os").environ.get("MCSAS_TPU_SLOW_TESTS", "") != "1",
+    reason="set MCSAS_TPU_SLOW_TESTS=1 for the 16-device dryrun")
+
+
+@slow
+def test_dryrun_multichip_16_devices():
+    """The driver's multichip dryrun at 2x the default device count —
+    exercises the subprocess fallback (this test process already
+    initialized its backends with 8 virtual devices)."""
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(16); "
+         "print('ok16')"],
+        cwd=repo, capture_output=True, text=True, timeout=1200,
+        env={**os.environ,
+             "PYTHONPATH": os.pathsep.join([repo, "/root/.axon_site"])})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ok16" in r.stdout
+
+
 def test_full_q_mesh(setup, baseline, cpus):
     """1 rep-group × 8 q-shards — the extreme sequence-parallel layout."""
     d, bound, cfg = setup
