@@ -139,6 +139,27 @@ def test_stop_callback(sphere_data, sphere_bound):
     assert np.all(res.n_iter <= 600)
 
 
+def test_large_contribution_count(sphere_data, sphere_bound):
+    """The reference allows up to 1e6 contributions
+    (mcsasparameters.json:5); the engine and the vectorized
+    post-processing must handle large N without per-contribution
+    Python-loop costs.  50k contributions × 2 reps here (~50 MB bank)."""
+    import time
+    from mcsas_tpu.post.histogram import histogram_all
+    cfg = McSASConfig(num_contribs=50_000, num_reps=2, max_iterations=100,
+                      chunk_steps=50, candidates_per_step=2, seed=21,
+                      max_retries=0, show_incomplete=True)
+    eng = McSASEngine(sphere_data, sphere_bound, cfg)
+    res = eng.run()
+    assert np.all(np.isfinite(res.conval))
+    assert res.contribs.shape == (2, 50_000, 1)
+    t0 = time.perf_counter()
+    fractions, hists = histogram_all(res.contribs, sphere_data,
+                                     sphere_bound, cfg)
+    assert time.perf_counter() - t0 < 60.0
+    assert np.isfinite(hists[0].bins.mean).all()
+
+
 def test_extreme_ranges_stay_finite():
     """Candidate rows at extreme range corners must not overflow the
     float32 solve into NaN (row clamp in make_intensity_kernels): a
