@@ -96,7 +96,7 @@ def suite():
         ("gaussian-chain", f"{ref}/sasfit_gauss2-5-1.5-2-1.dat",
          "GaussianChain", None, None, 1.0, 64, 4_000_000),
         ("kholodenko-worm", f"{ref}/sasfit_kho-1-10-1000.dat",
-         "Kholodenko", None, None, 1.0, 128, 12_000_000),
+         "Kholodenko", None, None, 1.0, 128, 24_000_000),
         ("cylinders-isotropic", "synth:cylinder",
          "CylindersIsotropic", ("radius",),
          {"radius": (0.5 * nm, 300 * nm)}, 1.0, 128, 8_000_000),
@@ -129,7 +129,7 @@ def suite():
          {"volFrac": (1e-4, 0.1)}, 1.0, 128, 20_000_000),
     ]
     local = {"core-shell-sphere": 0.5, "core-shell-ellipsoid": 0.5,
-             "lma-dense-sphere": 0.5, "kholodenko-worm": 0.5}
+             "lma-dense-sphere": 0.5, "kholodenko-worm": 0.75}
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
     for (name, path, model, active, ranges, crit, k_cand,
          budget) in configs:
@@ -164,9 +164,8 @@ def suite():
             "max_chi2": round(float(res.engine.conval.max()), 3),
             "converged_reps": int(res.engine.converged.sum()),
             "proposals_per_sec": round(res.engine.iters_per_sec),
-            "pallas": bool(res.bound.model.elementwise_q),
-            "table": bool(cfg.table_ff_enabled()
-                          and res.bound.model.ff_table_factory is not None),
+            "pallas": bool(res.engine.used_pallas),
+            "table": bool(res.engine.used_table),
             "local_moves": cfg.local_moves,
         }), flush=True)
 
@@ -189,11 +188,9 @@ def main():
                       local_moves=0.5)
     eng = McSASEngine(data, bound, cfg)
 
-    # warm-up: compile init + chunk without consuming the benchmark state
-    import jax.numpy as jnp
-    warm = eng._init_batch(jax.random.split(jax.random.PRNGKey(99), 10))
-    warm, _ = eng._chunk_batch(warm, jnp.zeros((), jnp.int32))
-    jax.block_until_ready(warm.conval)
+    # warm-up: one full run compiles exactly the executables the timed
+    # runs use (the fused init+drive path)
+    eng.run()
 
     # best-of-2 full runs: the remote-attach link to the chip has high
     # run-to-run variance; the minimum reflects algorithm wall-clock

@@ -100,6 +100,9 @@ class EngineResult:
     elapsed: float            # seconds
     iters_per_sec: float
     moves_per_sec: float
+    # which execution tier actually ran (vs static eligibility)
+    used_pallas: bool = False
+    used_table: bool = False
 
     @property
     def num_reps(self) -> int:
@@ -669,4 +672,7 @@ class McSASEngine:
             elapsed=elapsed,
             iters_per_sec=total_iters / max(elapsed, 1e-9),
             moves_per_sec=int(n_moves.sum()) / max(elapsed, 1e-9),
+            used_pallas=(self.uses_pallas
+                         or getattr(self, "_pallas_shard", False)),
+            used_table=self.uses_table,
         )

@@ -182,7 +182,8 @@ def _kho_table_factory(bound, q_grid, dtype):
                                    head=_FAST_HEAD))
 
     key = ("Kholodenko", tab_params, len(qd),
-           float(np.asarray(q_grid).sum()))
+           float(np.asarray(q_grid).sum()),
+           tuple(sorted(fixed.items())))
     tab = tables.build_param_table(row_fn, grids, dtype, block=64,
                                    cache_key=key)
 

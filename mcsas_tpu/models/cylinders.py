@@ -107,7 +107,8 @@ def _cyl_iso_table_factory(bound, q_grid, dtype):
                               q32 * (2.0 * _cyl_half(p)), n, dtype)
 
     key = ("CylindersIsotropic", n, tab_params, len(q32),
-           float(np.asarray(q_grid).sum()))
+           float(np.asarray(q_grid).sum()),
+           tuple(sorted(fixed.items())))
     tab = tables.build_param_table(row_fn, grids, dtype, cache_key=key)
 
     def ff(q, p):

@@ -73,7 +73,8 @@ def _ell_iso_table_factory(bound, q_grid, dtype):
                               dtype)
 
     key = ("EllipsoidsIsotropic", n, tab_params, len(q32),
-           float(np.asarray(q_grid).sum()))
+           float(np.asarray(q_grid).sum()),
+           tuple(sorted(fixed.items())))
     tab = tables.build_param_table(row_fn, grids, dtype, cache_key=key)
 
     def ff(q, p):

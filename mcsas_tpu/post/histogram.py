@@ -53,9 +53,12 @@ class HistogramSpec:
     bin_count: int = 50
     xscale: str = "lin"          # 'lin' | 'log'
     yweight: str = "vol"         # 'vol' | 'num' | 'int' | 'surf'
-    # None (default) → follow the active range unless explicit bounds were
-    # given (reference autoFollow, utils/parameter.py:240-247); passing
-    # auto_follow=True with explicit bounds deliberately overrides them
+    # None (default) → follow the active range unless explicit bounds
+    # were given (reference autoFollow, utils/parameter.py:240-247);
+    # passing auto_follow=True with explicit bounds deliberately
+    # overrides them.  Resolved lazily (not in __post_init__) so
+    # ``dataclasses.replace(spec, lower=..., upper=...)`` on a
+    # bounds-less spec honors the new bounds.
     auto_follow: bool = None
 
     def __post_init__(self):
@@ -65,17 +68,19 @@ class HistogramSpec:
             raise ValueError(f"yweight must be one of {WEIGHTINGS}")
         if self.bin_count < 1:
             raise ValueError("bin_count must be >= 1")
+
+    def _follows_active_range(self) -> bool:
         if self.auto_follow is None:
-            object.__setattr__(
-                self, "auto_follow",
-                self.lower is None and self.upper is None)
+            return self.lower is None and self.upper is None
+        return self.auto_follow
 
     def resolved(self, bound: BoundModel) -> "HistogramSpec":
         if self.param not in bound.active:
             raise KeyError(f"{self.param!r} is not an active parameter")
         lo, hi = bound.ranges[bound.active.index(self.param)]
-        lower = lo if (self.lower is None or self.auto_follow) else self.lower
-        upper = hi if (self.upper is None or self.auto_follow) else self.upper
+        auto = self._follows_active_range()
+        lower = lo if (self.lower is None or auto) else self.lower
+        upper = hi if (self.upper is None or auto) else self.upper
         return dataclasses.replace(self, lower=float(lower),
                                    upper=float(upper), auto_follow=False)
 

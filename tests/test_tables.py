@@ -17,31 +17,53 @@ NM = 1e-9
 Q = np.geomspace(1.05e6, 9.64e9, 100)   # the sasfit_sphere SI q grid
 
 
-def test_interp2d_exact_for_loglinear():
-    """Bilinear in log coords reproduces functions linear in (ln a, ln b)
-    exactly (up to f32 round-off)."""
+def test_param_table_lookup_exact_for_loglinear():
+    """Multilinear row blending in log coords reproduces functions linear
+    in (ln a, ln b) exactly (up to f32 round-off)."""
     a_grid = tables.log_grid(1e-3, 1e3, 64)
     b_grid = tables.log_grid(1e-2, 1e2, 32)
+    qdim = 4
     f = lambda a, b: 2.0 + 0.5 * np.log(a) - 0.25 * np.log(b)  # noqa: E731
-    vals = f(a_grid[:, None], b_grid[None, :])
-    tab = tables.from_grids(vals, a_grid, b_grid)
+    tab = tables.build_param_table(
+        lambda v: jnp.full((qdim,),
+                           2.0 + 0.5 * jnp.log(v[0])
+                           - 0.25 * jnp.log(v[1])),
+        [a_grid, b_grid])
     rng = np.random.default_rng(1)
     a = np.exp(rng.uniform(np.log(1e-3), np.log(1e3), 200))
     b = np.exp(rng.uniform(np.log(1e-2), np.log(1e2), 200))
-    got = np.asarray(tables.interp2d(tab, jnp.asarray(a), jnp.asarray(b)))
-    np.testing.assert_allclose(got, f(a, b), rtol=0, atol=2e-5)
+    got = np.asarray(jax.vmap(
+        lambda ai, bi: tables.lookup_param_table(tab, [ai, bi]))(
+            jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)))
+    np.testing.assert_allclose(got[:, 0], f(a, b), rtol=0, atol=2e-5)
 
 
-def test_interp2d_clamps_at_domain_edges():
-    a_grid = tables.log_grid(1.0, 10.0, 16)
-    b_grid = tables.log_grid(1.0, 10.0, 16)
-    vals = np.log(a_grid)[:, None] + np.log(b_grid)[None, :]
-    tab = tables.from_grids(vals, a_grid, b_grid)
-    inside = float(tables.interp2d(tab, 10.0, 10.0))
-    outside = float(tables.interp2d(tab, 1e6, 1e6))
-    below = float(tables.interp2d(tab, 1e-6, 1e-6))
+def test_param_table_lookup_clamps_at_domain_edges():
+    grid = tables.log_grid(1.0, 10.0, 16)
+    tab = tables.build_param_table(
+        lambda v: jnp.full((2,), jnp.log(v[0])), [grid])
+    inside = float(tables.lookup_param_table(tab, [10.0])[0])
+    outside = float(tables.lookup_param_table(tab, [1e6])[0])
+    below = float(tables.lookup_param_table(tab, [1e-6])[0])
     assert outside == pytest.approx(inside, rel=1e-5)
-    assert below == pytest.approx(float(vals[0, 0]), abs=1e-5)
+    assert below == pytest.approx(0.0, abs=1e-5)
+
+
+def test_param_table_cache_respects_fixed_params():
+    """Two engines differing only in a fixed parameter must not share a
+    baked table (code-review r2 finding)."""
+    m = get_model("EllipsoidsIsotropic")
+    rows = []
+    for aspect in (3.0, 5.0):
+        bound = m.bind(active=("a",),
+                       active_ranges={"a": (1 * NM, 100 * NM)},
+                       fixed={"aspect": aspect})
+        tab_ff = m.ff_table_factory(bound, Q, jnp.float32)
+        rows.append(np.asarray(jax.jit(
+            lambda q: tab_ff(q, bound.pdict(
+                jnp.asarray([10 * NM], jnp.float32))))(
+                    jnp.asarray(Q, jnp.float32))))
+    assert not np.allclose(rows[0], rows[1])
 
 
 def _rel_err_vs(exact_sq, approx_sq):
