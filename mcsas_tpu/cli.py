@@ -85,6 +85,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--xscale", choices=("lin", "log"), default="lin")
     p.add_argument("--weight", choices=("vol", "num", "int", "surf"),
                    default="vol", help="histogram weighting")
+    p.add_argument("--hist", action="append", default=[],
+                   metavar="PARAM[=LO:HI][,BINS][,lin|log]"
+                           "[,vol|num|int|surf]",
+                   help="additional post-fit histogram, repeatable "
+                        "(the reference GUI's range list: several "
+                        "ranges/weightings per parameter); LO:HI in "
+                        "display units, omitted bounds follow the "
+                        "active range")
     p.add_argument("--series-stats", action="store_true",
                    help="accumulate series statistics across files")
     p.add_argument("--list-models", action="store_true",
@@ -165,6 +173,15 @@ def main(argv=None) -> int:
         specs = [HistogramSpec(p, bin_count=args.bins, xscale=args.xscale,
                                yweight=args.weight)
                  for p in bound.active]
+    if args.hist:
+        try:
+            extra = [_parse_hist_spec(h, model) for h in args.hist]
+        except (ValueError, KeyError) as e:
+            print(f"error: bad --hist: {e}", file=sys.stderr)
+            return 2
+        specs = [HistogramSpec(p) for p in bound.active] if specs is None \
+            else specs
+        specs = specs + extra
     results = run_files(args.filenames, model=bound, cfg=cfg,
                         histograms=specs, data_config=data_config,
                         out_dir=args.outdir, plot=args.plot)
@@ -174,6 +191,33 @@ def main(argv=None) -> int:
         print(f"{r.data.title}: chi2={r.engine.conval.round(3).tolist()} "
               f"[{status}], {r.engine.iters_per_sec:,.0f} proposals/s")
     return 1 if failures else 0
+
+
+def _parse_hist_spec(text, model):
+    """Parses one --hist value: PARAM[=LO:HI][,BINS][,lin|log][,weight]
+    (the headless equivalent of one reference range-list row,
+    gui/rangelist.py)."""
+    from .post.histogram import HistogramSpec
+    head, *opts = text.split(",")
+    lower = upper = None
+    if "=" in head:
+        name, lohi = head.split("=", 1)
+        lo, hi = lohi.split(":")
+        unit = model.spec(name).unit
+        lower, upper = unit.to_si(float(lo)), unit.to_si(float(hi))
+    else:
+        name = head
+        model.spec(name)                     # validate the name
+    kw = dict(param=name, lower=lower, upper=upper)
+    for opt in opts:
+        opt = opt.strip()
+        if opt in ("lin", "log"):
+            kw["xscale"] = opt
+        elif opt in ("vol", "num", "int", "surf"):
+            kw["yweight"] = opt
+        else:
+            kw["bin_count"] = int(opt)
+    return HistogramSpec(**kw)
 
 
 def _build_data_config(args):

@@ -2,6 +2,7 @@
 """End-to-end API: fit(), result accessors, output writers, archive
 round-trip, re-histogramming, CLI."""
 import configparser
+import glob
 import os
 import pickle
 
@@ -123,6 +124,23 @@ def test_cli_full_run(refdata, tmp_path, capsys):
     assert len(subdirs) == 1
     files = {f.name.split("_")[-1] for f in subdirs[0].iterdir()}
     assert "fit.dat" in files and "settings.cfg" in files
+
+
+def test_cli_multi_histograms(refdata, tmp_path):
+    """Repeatable --hist = the reference GUI's range list: several
+    ranges/weightings per parameter in one run."""
+    from mcsas_tpu.cli import main
+    rc = main([str(refdata / "sasfit_sphere-10-1.dat"),
+               "-m", "Sphere", "-o", str(tmp_path),
+               "--contribs", "15", "--reps", "1", "--max-iter", "400",
+               "--hist", "radius=5:20,25,log,num",
+               "--hist", "radius,10,surf"])
+    assert rc in (0, 1)          # converged or not — outputs must exist
+    hists = glob.glob(str(tmp_path / "*" / "*_hist-*.dat"))
+    # default vol histogram + the two extra ranges
+    assert len(hists) == 3
+    assert any("log-num" in h for h in hists)
+    assert any("surf" in h for h in hists)
 
 
 def test_cli_bad_range(refdata, capsys):
