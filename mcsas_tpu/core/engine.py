@@ -124,6 +124,9 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
     # 2D (q, ψ) fitting: the grid carries both coordinates as columns and
     # the kernel is the model's anisotropic ff2d (see models/base.py)
     two_d = data.psi is not None and bound.model.ff2d is not None
+    if two_d and data.uses_smearing and bound.model.can_smear:
+        log.warning("2D (q, psi) fitting ignores the smearing config: "
+                    "the anisotropic kernel has no smeared variant")
     smearing = (data.uses_smearing and bound.model.can_smear
                 and not two_d)
     if smearing:
