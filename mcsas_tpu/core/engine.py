@@ -353,16 +353,20 @@ class McSASEngine:
 
             self._drive = jax.jit(drive)
 
-            # first attempt fused with initialization: init + whole-attempt
-            # while_loop in ONE device launch (one less remote RTT)
-            def init_drive(keys, ri, grid, consts):
+            # first attempt fused with initialization: seed → keys →
+            # init + whole-attempt while_loop in ONE device launch (each
+            # pre-launch host op — PRNGKey, split, the cursor zeros —
+            # costs a ~4 ms dispatch RTT on the remote link)
+            def init_drive(seed, grid, consts):
+                keys = jax.random.split(
+                    jax.random.PRNGKey(seed), cfg.num_reps)
                 state = jax.vmap(
                     lambda k: self._init_rep(k, grid, consts))(keys)
-                return drive(state, ri)
+                return drive(state, jnp.zeros((), jnp.int32))
 
             _init_drive = jax.jit(init_drive)
-            self._init_drive = lambda keys, ri: _init_drive(
-                keys, ri, self.grid, self.consts)
+            self._init_drive = lambda seed: _init_drive(
+                seed, self.grid, self.consts)
         else:
             self._init_drive = None
 
@@ -552,27 +556,27 @@ class McSASEngine:
             ) -> EngineResult:
         cfg = self.cfg
         n_reps = cfg.num_reps
-        keys = jax.random.split(jax.random.PRNGKey(cfg.seed), 2 * n_reps)
-        ri = jnp.zeros((), jnp.int32)
         attempts = np.ones(n_reps, dtype=np.int64)
-        retry_key = keys[-1]
+        retry_key = None                     # derived lazily (rare path)
         max_attempts = cfg.max_retries + 2   # reference retry budget
         total_iters = 0
         t0 = time.perf_counter()
 
         # without cooperative-abort/progress hooks, the whole attempt runs
         # as ONE device launch (while_loop over chunks) — no per-chunk
-        # RTT — and the FIRST attempt additionally fuses initialization
-        # into that launch
+        # RTT — and the FIRST attempt additionally fuses key derivation
+        # and initialization into that launch
         drive_mode = (self._drive is not None and stop is None
                       and progress is None and self.sharding is None)
         step_fn = self._drive if drive_mode else self._chunk_batch
         packed = None
         if drive_mode:
-            state, ri, packed = self._init_drive(keys[:n_reps], ri)
+            state, ri, packed = self._init_drive(cfg.seed)
             primed = True
         else:
-            state = self._init_batch(keys[:n_reps])
+            keys = jax.random.split(jax.random.PRNGKey(cfg.seed), n_reps)
+            ri = jnp.zeros((), jnp.int32)
+            state = self._init_batch(keys)
             if self.sharding is not None:
                 state = jax.device_put(state, self.sharding)
             primed = False
@@ -631,6 +635,9 @@ class McSASEngine:
             need_retry = ~converged & exhausted & (attempts < max_attempts)
             if need_retry.any():
                 total_iters += int(n_iter[need_retry].sum())
+                if retry_key is None:
+                    retry_key = jax.random.fold_in(
+                        jax.random.PRNGKey(cfg.seed), 977)
                 retry_key, sub = jax.random.split(retry_key)
                 fresh = self._init_batch(
                     jax.random.split(sub, n_reps))
