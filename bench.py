@@ -192,6 +192,15 @@ def main():
     # runs use (the fused init+drive path)
     eng.run()
 
+    trace_dir = None
+    for a in sys.argv:
+        if a.startswith("--trace="):
+            trace_dir = a.split("=", 1)[1]
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            eng.run()
+        print(json.dumps({"trace": trace_dir}), file=sys.stderr)
+
     # best-of-2 full runs: the remote-attach link to the chip has high
     # run-to-run variance; the minimum reflects algorithm wall-clock
     elapsed = float("inf")

@@ -168,6 +168,30 @@ def test_engine_with_table_descends(sphere_data):
     assert res.n_moves.min() > 0
 
 
+def test_table_and_exact_paths_statistically_match(sphere_data):
+    """Same seed/budget, table on vs off: the threefry proposal stream is
+    identical, so only fit-grade kernel differences can flip accepts —
+    the fitted radius distributions must agree closely."""
+    base = dict(num_contribs=30, num_reps=2, max_iterations=4000,
+                chunk_steps=500, candidates_per_step=4, seed=23,
+                max_retries=0, show_incomplete=True)
+    bound = get_model("CylindersIsotropic").bind(
+        active=("radius",), active_ranges={"radius": (0.5 * NM, 300 * NM)})
+    res = {}
+    for mode in ("on", "off"):
+        eng = McSASEngine(sphere_data, bound,
+                          McSASConfig(table_ff=mode, **base))
+        assert eng.uses_table == (mode == "on")
+        res[mode] = eng.run()
+    chi_on = res["on"].conval
+    chi_off = res["off"].conval
+    assert np.all(np.isfinite(chi_on)) and np.all(np.isfinite(chi_off))
+    np.testing.assert_allclose(chi_on, chi_off, rtol=0.3)
+    lr_on = np.log(res["on"].contribs).mean()
+    lr_off = np.log(res["off"].contribs).mean()
+    assert abs(lr_on - lr_off) < 0.5
+
+
 def test_engine_table_off_matches_legacy_path(sphere_data):
     cfg = McSASConfig(num_contribs=10, num_reps=1, max_iterations=200,
                       chunk_steps=100, candidates_per_step=2, seed=3,
