@@ -182,17 +182,22 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
     # with a multilinear row blend — strictly the fastest fit-grade tier.
     # Rows are baked against THIS fit grid, so it is disabled when the
     # kernel would see a different grid (smearing locs, q-axis shards).
+    # The table VALUES join the grid pytree as a jit *argument* — baking
+    # them into the executable as closure constants would force a fresh
+    # (remote, 15-300 s) compile per dataset.
     used_table = False
+    table_fn = None
     if (jnp.dtype(dtype) == jnp.float32
             and bound.model.ff_table_factory is not None
             and not smearing and not two_d
             and allow_table
             and cfg.table_ff_enabled()):
-        table_ff = bound.model.ff_table_factory(
+        table_ret = bound.model.ff_table_factory(
             bound, np.asarray(data.q, np.float64), dtype)
-        if table_ff is not None:
-            model_ff = table_ff
+        if table_ret is not None:
+            table_fn, table_values = table_ret
             used_table = True
+            full_grid = (full_grid, jnp.asarray(table_values))
 
     # float32 overflow guard: candidate rows at extreme range corners can
     # reach (v/v_ref)^(2c)·(ff/ff_ref)² ≈ 1e20, and the solve's Σu·x²
@@ -208,7 +213,10 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
     row_clamp = max(row_clamp, 1e3)   # stay far above the working range
 
     def intensity_row(grid, pvec):
-        if two_d:
+        if used_table:
+            gq, tvals = grid
+            ffv = table_fn(gq, tvals, bound.pdict(pvec))
+        elif two_d:
             ffv = bound.model.ff2d(grid[:, 0], grid[:, 1],
                                    bound.pdict(pvec))
         else:

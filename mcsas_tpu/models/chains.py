@@ -186,15 +186,16 @@ def _kho_table_factory(bound, q_grid, dtype):
            tuple(sorted(fixed.items())))
     tab = tables.build_param_table(row_fn, grids, dtype, block=64,
                                    cache_key=key)
+    lookup = tables.make_lookup(tab.axes, tab_params)
 
-    def ff(q, p):
-        # valid only on the baked fit grid (the engine always passes it)
-        p0 = tables.lookup_param_table(
-            tab, [p[name] for name in tab_params])
+    def ff(q, values, p):
+        # backbone rows are valid only on the baked fit grid (the engine
+        # always passes it); the cross-section factor is exact in q
+        p0 = lookup(values, p)
         pcs = 2.0 * j1_over_x(q * p["radius"])
         return p0 * pcs
 
-    return ff
+    return ff, tab.values
 
 
 def _kho_volume(p):

@@ -110,13 +110,13 @@ def _cyl_iso_table_factory(bound, q_grid, dtype):
            float(np.asarray(q_grid).sum()),
            tuple(sorted(fixed.items())))
     tab = tables.build_param_table(row_fn, grids, dtype, cache_key=key)
+    lookup = tables.make_lookup(tab.axes, tab_params)
 
-    def ff(q, p):
+    def ff(q, values, p):
         # valid only on the baked fit grid (the engine always passes it)
-        return tables.lookup_param_table(
-            tab, [p[name] for name in tab_params])
+        return lookup(values, p)
 
-    return ff
+    return ff, tab.values
 
 
 CylindersIsotropic = SASModel(

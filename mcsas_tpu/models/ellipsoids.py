@@ -76,13 +76,13 @@ def _ell_iso_table_factory(bound, q_grid, dtype):
            float(np.asarray(q_grid).sum()),
            tuple(sorted(fixed.items())))
     tab = tables.build_param_table(row_fn, grids, dtype, cache_key=key)
+    lookup = tables.make_lookup(tab.axes, tab_params)
 
-    def ff(q, p):
+    def ff(q, values, p):
         # valid only on the baked fit grid (the engine always passes it)
-        return tables.lookup_param_table(
-            tab, [p[name] for name in tab_params])
+        return lookup(values, p)
 
-    return ff
+    return ff, tab.values
 
 
 def _ell_iso_volume(p):
@@ -192,13 +192,13 @@ def _ell_cs_table_factory(bound, q_grid, dtype):
            tuple(sorted(fixed.items())))
     tab = tables.build_param_table(row_fn, grids, dtype, block=128,
                                    cache_key=key)
+    lookup = tables.make_lookup(tab.axes, tab_params)
 
-    def ff(q, p):
+    def ff(q, values, p):
         # valid only on the baked fit grid (the engine always passes it)
-        return tables.lookup_param_table(
-            tab, [p[name] for name in tab_params])
+        return lookup(values, p)
 
-    return ff
+    return ff, tab.values
 
 
 def _ell_cs_ff(q, p, _ff=sphere_ff):

@@ -129,6 +129,17 @@ def lookup_param_table(table: ParamTable, pvals):
     return out
 
 
+def make_lookup(axes, tab_params):
+    """Returns ``fn(values, pdict) -> (Nq,)`` with only the *static* axis
+    metadata closed over — the (potentially large) ``values`` array stays
+    a jit ARGUMENT, so engine executables are shared across datasets
+    instead of recompiling per baked table."""
+    def fn(values, pdict):
+        tab = ParamTable(values=values, axes=axes)
+        return lookup_param_table(tab, [pdict[n] for n in tab_params])
+    return fn
+
+
 def param_product_range(bound, name_or_value) -> tuple:
     """(lo, hi) of one parameter: its sampling range if active, else the
     fixed value as a degenerate range."""

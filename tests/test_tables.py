@@ -58,9 +58,9 @@ def test_param_table_cache_respects_fixed_params():
         bound = m.bind(active=("a",),
                        active_ranges={"a": (1 * NM, 100 * NM)},
                        fixed={"aspect": aspect})
-        tab_ff = m.ff_table_factory(bound, Q, jnp.float32)
+        tab_fn, tab_values = m.ff_table_factory(bound, Q, jnp.float32)
         rows.append(np.asarray(jax.jit(
-            lambda q: tab_ff(q, bound.pdict(
+            lambda q: tab_fn(q, tab_values, bound.pdict(
                 jnp.asarray([10 * NM], jnp.float32))))(
                     jnp.asarray(Q, jnp.float32))))
     assert not np.allclose(rows[0], rows[1])
@@ -75,8 +75,9 @@ def _rel_err_vs(exact_sq, approx_sq):
 def _table_errs(model_name, active, ranges, exact_fn, n_trial=100):
     m = get_model(model_name)
     bound = m.bind(active=active, active_ranges=ranges)
-    tab_ff = m.ff_table_factory(bound, Q, jnp.float32)
-    assert tab_ff is not None
+    table_ret = m.ff_table_factory(bound, Q, jnp.float32)
+    assert table_ret is not None
+    tab_fn, tab_values = table_ret
     rng = np.random.default_rng(7)
     vals = np.stack([[np.exp(rng.uniform(np.log(max(lo, 1e-12)),
                                          np.log(hi)))
@@ -85,7 +86,7 @@ def _table_errs(model_name, active, ranges, exact_fn, n_trial=100):
     exact = np.asarray(jax.jit(jax.vmap(
         lambda v: exact_fn(q64, bound.pdict(v))))(jnp.asarray(vals)))
     approx = np.asarray(jax.jit(jax.vmap(
-        lambda v: tab_ff(q32, bound.pdict(v))))(
+        lambda v: tab_fn(q32, tab_values, bound.pdict(v))))(
             jnp.asarray(vals, jnp.float32)))
     return _rel_err_vs(exact.astype(np.float64) ** 2,
                        approx.astype(np.float64) ** 2)
