@@ -130,8 +130,11 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
     smearing = (data.uses_smearing and bound.model.can_smear
                 and not two_d)
     if smearing:
-        full_grid = jnp.asarray(data.locs, dtype)
-        smear_w = jnp.asarray(data.smear_w, dtype)
+        # the contraction vector rides the grid pytree as a jit argument
+        # (a closure constant would key compiles on the dataset's beam
+        # profile — fresh remote compile per file in a series run)
+        full_grid = (jnp.asarray(data.locs, dtype),
+                     jnp.asarray(data.smear_w, dtype))
     elif two_d:
         full_grid = jnp.asarray(
             np.column_stack([data.q, data.psi]), dtype)
@@ -213,18 +216,21 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
     row_clamp = max(row_clamp, 1e3)   # stay far above the working range
 
     def intensity_row(grid, pvec):
+        w = weight_norm(pvec) * inv_i_ref
         if used_table:
             gq, tvals = grid
             ffv = table_fn(gq, tvals, bound.pdict(pvec))
+            row = ffv * ffv * w
         elif two_d:
             ffv = bound.model.ff2d(grid[:, 0], grid[:, 1],
                                    bound.pdict(pvec))
+            row = ffv * ffv * w
+        elif smearing:
+            locs, sw = grid
+            ffv = model_ff(locs, bound.pdict(pvec))
+            row = (ffv * ffv) @ sw * w
         else:
             ffv = model_ff(grid, bound.pdict(pvec))
-        w = weight_norm(pvec) * inv_i_ref
-        if smearing:
-            row = (ffv * ffv) @ smear_w * w
-        else:
             row = ffv * ffv * w
         return jnp.minimum(row, row_clamp)
 
@@ -405,13 +411,22 @@ class McSASEngine:
 
     def _pad_fit_grid(self, multiple: int):
         """Pads the fit grid with zero-weight points (invisible to every
-        reduction; measval is sliced back to data.count in run())."""
-        nq = int(self.grid.shape[0])
+        reduction; measval is sliced back to data.count in run()).
+
+        For a tuple grid (smearing: (locs, smear_w)) only the q-axis
+        leaf is padded.  Table grids never reach here (no Pallas, no
+        q-sharding for the table tier).
+        """
+        grid = self.grid
+        main = grid[0] if isinstance(grid, tuple) else grid
+        nq = int(main.shape[0])
         pad = (-nq) % multiple
         if not pad:
             return
-        grid_pad = jnp.repeat(self.grid[-1:], pad, axis=0)
-        self.grid = jnp.concatenate([self.grid, grid_pad], axis=0)
+        main = jnp.concatenate(
+            [main, jnp.repeat(main[-1:], pad, axis=0)], axis=0)
+        self.grid = ((main,) + grid[1:] if isinstance(grid, tuple)
+                     else main)
         c = self.consts
         zeros = jnp.zeros((pad,), c.y.dtype)
         self.consts = FitConstants(

@@ -70,7 +70,14 @@ class ShardedEnsemble(McSASEngine):
 
         mesh = self.mesh
         specs = _state_specs()
-        grid_spec = P("q") if self.grid.ndim == 1 else P("q", None)
+        if isinstance(self.grid, tuple):
+            # smearing: (locs (Nq, nSteps) sharded along q, contraction
+            # vector replicated)
+            grid_spec = (P("q", None), P())
+        elif self.grid.ndim == 1:
+            grid_spec = P("q")
+        else:
+            grid_spec = P("q", None)
         consts_spec = FitConstants(y=P("q"), u=P("q"), s_u=P(), s_uy=P(),
                                    n=P())
         # always psum over "q" (identity for a singleton axis): keeps the
@@ -91,8 +98,13 @@ class ShardedEnsemble(McSASEngine):
             chunk_local, mesh=mesh,
             in_specs=(specs, P(), grid_spec, consts_spec),
             out_specs=(specs, P()))
-        grid_sharded = jax.device_put(
-            self.grid, NamedSharding(mesh, grid_spec))
+        if isinstance(self.grid, tuple):
+            grid_sharded = tuple(
+                jax.device_put(g, NamedSharding(mesh, sp))
+                for g, sp in zip(self.grid, grid_spec))
+        else:
+            grid_sharded = jax.device_put(
+                self.grid, NamedSharding(mesh, grid_spec))
         consts_sharded = jax.tree_util.tree_map(
             lambda leaf, sp: jax.device_put(jnp.asarray(leaf),
                                             NamedSharding(mesh, sp)),

@@ -118,6 +118,27 @@ def test_dryrun_multichip_16_devices():
     assert "ok16" in r.stdout
 
 
+def test_q_sharded_smearing(refdata, cpus):
+    """Smeared data under q-axis sharding: the (locs, smear_w) grid
+    pytree shards locs along q and replicates the contraction vector."""
+    from mcsas_tpu.data import DataConfig, TrapezoidSmearing
+    d = data.load(refdata / "sasfit_sphere-10-1.dat",
+                  config=DataConfig(smearing=TrapezoidSmearing(
+                      do_smear=True, n_steps=10,
+                      umbra=0.05e9, penumbra=0.1e9)))
+    assert d.uses_smearing
+    bound = get_model("Sphere").bind()
+    cfg = McSASConfig(num_contribs=15, num_reps=2, max_iterations=400,
+                      chunk_steps=200, seed=5, max_retries=0,
+                      candidates_per_step=2, use_pallas="off",
+                      show_incomplete=True)
+    base = McSASEngine(d, bound, cfg).run()
+    se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((2, 2), cpus))
+    res = se.run()
+    np.testing.assert_array_equal(res.contribs, base.contribs)
+    np.testing.assert_allclose(res.conval, base.conval, rtol=1e-5)
+
+
 def test_full_q_mesh(setup, baseline, cpus):
     """1 rep-group × 8 q-shards — the extreme sequence-parallel layout."""
     d, bound, cfg = setup
