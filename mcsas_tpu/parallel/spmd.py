@@ -131,6 +131,13 @@ class ShardedEnsemble(McSASEngine):
             self._chunk_batch = jax.jit(lambda state, ri: sm_chunk(
                 state, ri, grid_sharded, consts_sharded))
         self._reinit_merge = jax.jit(self._merge_reinit)
+        # the parent's fused init+drive would initialize the whole state
+        # UNSHARDED (one device's memory) before the shard_map chunk
+        # reshards it — fine on a virtual mesh, an OOM hazard on real
+        # chips.  The sharded ensemble always initializes through its
+        # shard_map and chunks via the host loop.
+        self._drive = None
+        self._init_drive = None
 
     def run(self, **kw):
         res = super().run(**kw)
