@@ -61,12 +61,19 @@ class McSASResult:
         return self.data.q
 
     @property
+    def _measval(self) -> np.ndarray:
+        """Fitted curve per rep: the float64 exact-kernel curve from the
+        post pass when available (the engine's is fit-grade float32)."""
+        mv = getattr(self.fractions, "measval", None)
+        return mv if mv is not None else self.engine.measval
+
+    @property
     def fit_measval_mean(self) -> np.ndarray:
-        return self.engine.measval.mean(axis=0)
+        return self._measval.mean(axis=0)
 
     @property
     def fit_measval_std(self) -> np.ndarray:
-        return self.engine.measval.std(axis=0)
+        return self._measval.std(axis=0)
 
     @property
     def scaling(self):

@@ -152,6 +152,9 @@ class FractionsResult:
     volumes: np.ndarray                  # (N, R) absolute volumes
     surfaces: np.ndarray                 # (N, R)
     agofs: np.ndarray                    # (R,) Henn-2016 goodness of fit
+    # exact-kernel fitted curve A·I+b per rep (R, Nq) — unlike the
+    # engine's measval this is float64 with the full (non-fit-grade) ff
+    measval: np.ndarray = None
 
 
 # ------------------------------------------------------------ computation
@@ -200,6 +203,7 @@ def compute_fractions(contribs: np.ndarray, data: SASData,
     volumes = np.zeros((n, n_reps))
     surfaces = np.zeros((n, n_reps))
     agofs = np.zeros(n_reps)
+    measval = np.zeros((n_reps, len(np.asarray(data.f))))
     sigma = np.asarray(data.fu, np.float64)
     with jax.default_device(_cpu_device()):
         consts = make_constants(data.f, data.fu, jnp.float64)
@@ -219,6 +223,7 @@ def compute_fractions(contribs: np.ndarray, data: SASData,
                                  cfg.positive_background)
         a, b = float(sol.scale) / ft_norm, float(sol.background)
         scaling[:, ri] = (a, b)
+        measval[ri] = a * ft + b
         # alternative goodness-of-fit [Henn 2016] with the 1/alpha factor
         # (reference: backgroundscalingfit.py:79-84,136-138)
         resid = np.asarray(data.f) - (a * ft + b)
@@ -263,6 +268,7 @@ def compute_fractions(contribs: np.ndarray, data: SASData,
                 minr[w][:, ri] /= total[w][ri]
 
     return FractionsResult(fraction=frac, min_req=minr, total=total,
+                           measval=measval,
                            scaling=scaling, volumes=volumes,
                            surfaces=surfaces, agofs=agofs)
 
