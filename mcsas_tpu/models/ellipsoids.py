@@ -11,7 +11,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.special import sphere_ff, sphere_ff_fast
+from ..ops.special import sphere_ff
 from ..utils.units import ANGSTROM_SLD, NM, NoUnit, SLD
 from .base import ParamSpec, SASModel
 
@@ -110,7 +110,6 @@ EllipsoidsIsotropic = SASModel(
                   display_name="Scattering length density difference"),
     ),
     ff=_ell_iso_ff,
-    ff_fast=lambda q, p: _ell_iso_ff(q, p, _ff=sphere_ff_fast),
     ff_table_factory=_ell_iso_table_factory,
     volume=_ell_iso_volume,
     absvolume=lambda p: _ell_iso_volume(p) * p["sld"] ** 2,
@@ -152,7 +151,6 @@ SphericalCoreShell = SASModel(
                   display_name="Solvent SLD"),
     ),
     ff=_sph_cs_ff,
-    ff_fast=lambda q, p: _sph_cs_ff(q, p, _ff=sphere_ff_fast),
     volume=lambda p: _PI43 * (p["radius"] + p["t"]) ** 3,
     surface=lambda p: 4.0 * math.pi * (p["radius"] + p["t"]) ** 2,
     default_active=("radius",),
@@ -242,7 +240,6 @@ EllipsoidalCoreShell = SASModel(
                   display_name="Orientation Integration Divisions"),
     ),
     ff=_ell_cs_ff,
-    ff_fast=lambda q, p: _ell_cs_ff(q, p, _ff=sphere_ff_fast),
     ff_table_factory=_ell_cs_table_factory,
     volume=lambda p: _PI43 * (p["a"] + p["t"]) * (p["b"] + p["t"]) ** 2,
     default_active=("a",),

@@ -10,7 +10,7 @@ import math
 
 import jax.numpy as jnp
 
-from ..ops.special import py_G_over_A, sphere_ff, sphere_ff_fast
+from ..ops.special import py_G_over_A, sphere_ff
 from ..utils.units import ANGSTROM_SLD, Fraction, NM, NoUnit
 from .base import ParamSpec, SASModel
 
@@ -33,9 +33,6 @@ def _sphere_formfactor(q, p):
     return sphere_ff(q * p["radius"])
 
 
-def _sphere_formfactor_fast(q, p):
-    return sphere_ff_fast(q * p["radius"])
-
 
 Sphere = SASModel(
     name="Sphere",
@@ -51,7 +48,6 @@ Sphere = SASModel(
                   display_name="scattering length density difference"),
     ),
     ff=_sphere_formfactor,
-    ff_fast=_sphere_formfactor_fast,
     volume=_sphere_volume,
     absvolume=_sphere_absvolume,
     surface=_sphere_surface,
@@ -96,7 +92,6 @@ LMADenseSphere = SASModel(
                   display_name="scattering length density difference"),
     ),
     ff=_lma_formfactor,
-    ff_fast=lambda q, p: _lma_formfactor(q, p, _ff=sphere_ff_fast),
     volume=_sphere_volume,
     absvolume=_sphere_absvolume,
     surface=_sphere_surface,

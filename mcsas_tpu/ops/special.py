@@ -50,26 +50,6 @@ def sinc_sin(x):
     return jnp.where(small, series, jnp.sin(xs) / xs)
 
 
-def sphere_ff_fast(x):
-    """Fit-grade Rayleigh sphere function: one transcendental instead of
-    two — cos is reconstructed as sign·√(1−sin²) with the sign from the
-    quadrant index round(x/π).  Relative error spikes to ~1e-4 (float32)
-    only in the narrow bands where |cos| ≲ 1e-3; elsewhere it matches
-    sphere_ff to float32 round-off.  Used only via SASModel.ff_fast in the
-    float32 MC hot loop, which is VPU-transcendental-bound."""
-    x = jnp.asarray(x)
-    small = jnp.abs(x) < _small_threshold(x)
-    xs = jnp.where(small, jnp.ones_like(x), x)
-    s = jnp.sin(xs)
-    m = jnp.round(xs / jnp.pi)
-    sign = 1.0 - 2.0 * jnp.abs(m % 2.0)
-    c = sign * jnp.sqrt(jnp.maximum(1.0 - s * s, 0.0))
-    closed = 3.0 * (s - xs * c) / xs ** 3
-    x2 = x * x
-    series = 1.0 + x2 * (-1.0 / 10.0 + x2 * (1.0 / 280.0))
-    return jnp.where(small, series, closed)
-
-
 # --- cylindrical Bessel J1 -------------------------------------------------
 # Rational approximations after Abramowitz & Stegun 9.4.4 / 9.4.6,
 # |error| < 1.3e-8 relative to J1 — sufficient for the ≤1e-4/1e-5 golden
