@@ -178,8 +178,8 @@ def _kho_table_factory(bound, q_grid, dtype):
         p = dict(fixed)
         for i, name in enumerate(tab_params):
             p[name] = vals[i]
-        return jnp.sqrt(_kho_p0_sq(qd, p["lenKuhn"], p["lenContour"],
-                                   head=_FAST_HEAD))
+        # accurate (2048-node) head rule: the build is one-time (~4 s)
+        return jnp.sqrt(_kho_p0_sq(qd, p["lenKuhn"], p["lenContour"]))
 
     key = ("Kholodenko", tab_params, len(qd),
            float(np.asarray(q_grid).sum()),
