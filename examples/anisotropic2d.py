@@ -54,8 +54,9 @@ def main():
                       show_incomplete=True)
     res = mt.fit(data, model=bound, cfg=cfg)
     print("chi2 per repetition:", res.engine.conval.round(2).tolist())
-    ang = 2.0 * res.contribs[:, :, 1]
-    w = res.contribs[:, :, 0] ** 3
+    contribs = res.engine.contribs          # (reps, N, params)
+    ang = 2.0 * contribs[:, :, 1]
+    w = contribs[:, :, 0] ** 3
     mean_ang = math.atan2((w * np.sin(ang)).sum(),
                           (w * np.cos(ang)).sum()) / 2.0
     print(f"recovered orientation {mean_ang % math.pi:.2f} rad "

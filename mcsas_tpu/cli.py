@@ -175,13 +175,14 @@ def main(argv=None) -> int:
                  for p in bound.active]
     if args.hist:
         try:
-            extra = [_parse_hist_spec(h, model) for h in args.hist]
+            extra = [_parse_hist_spec(h, model, bound.active)
+                     for h in args.hist]
         except (ValueError, KeyError) as e:
             print(f"error: bad --hist: {e}", file=sys.stderr)
             return 2
-        specs = [HistogramSpec(p) for p in bound.active] if specs is None \
-            else specs
-        specs = specs + extra
+        from .post.histogram import default_histograms
+        specs = (list(default_histograms(bound)) if specs is None
+                 else specs) + extra
     results = run_files(args.filenames, model=bound, cfg=cfg,
                         histograms=specs, data_config=data_config,
                         out_dir=args.outdir, plot=args.plot)
@@ -193,10 +194,11 @@ def main(argv=None) -> int:
     return 1 if failures else 0
 
 
-def _parse_hist_spec(text, model):
+def _parse_hist_spec(text, model, active):
     """Parses one --hist value: PARAM[=LO:HI][,BINS][,lin|log][,weight]
     (the headless equivalent of one reference range-list row,
-    gui/rangelist.py)."""
+    gui/rangelist.py).  One-sided bounds are allowed (``radius=5:``) —
+    the omitted side follows the active range."""
     from .post.histogram import HistogramSpec
     head, *opts = text.split(",")
     lower = upper = None
@@ -204,10 +206,15 @@ def _parse_hist_spec(text, model):
         name, lohi = head.split("=", 1)
         lo, hi = lohi.split(":")
         unit = model.spec(name).unit
-        lower, upper = unit.to_si(float(lo)), unit.to_si(float(hi))
+        lower = unit.to_si(float(lo)) if lo.strip() else None
+        upper = unit.to_si(float(hi)) if hi.strip() else None
     else:
         name = head
         model.spec(name)                     # validate the name
+    if name not in active:
+        raise ValueError(
+            f"{name!r} is not an active (fitted) parameter; histograms "
+            f"cover {', '.join(active)}")
     kw = dict(param=name, lower=lower, upper=upper)
     for opt in opts:
         opt = opt.strip()

@@ -284,9 +284,17 @@ class McSASEngine:
         self._init_batch = lambda keys: _init(keys, self.grid, self.consts)
         if self.uses_pallas:
             from ..ops.mc_kernel import build_chunk_fn
-            self._chunk_batch = build_chunk_fn(self)
+            _pallas_chunk = build_chunk_fn(self)
+            # the Pallas kernel bakes its (lane-padded) grid/consts — its
+            # executables are per-dataset by construction; the uniform
+            # arg signature below exists so the drive can stay shareable
+            # for the XLA path
+            self._chunk_impl = lambda state, ri, grid, consts: \
+                _pallas_chunk(state, ri)
+            self._chunk_batch = _pallas_chunk
         else:
             _chunk = jax.jit(self._run_chunk_batched)
+            self._chunk_impl = _chunk
             self._chunk_batch = lambda state, ri: _chunk(
                 state, ri, self.grid, self.consts)
         self._reinit_merge = jax.jit(self._merge_reinit)
@@ -343,29 +351,32 @@ class McSASEngine:
                 or (bound.model.elementwise_q and not self.uses_table)):
             crit = float(cfg.convergence_criterion)
 
-            def drive_loop(state, ri):
+            def drive_loop(state, ri, grid, consts):
                 def running(carry):
                     s, _ = carry
                     return jnp.any((s.conval > crit)
                                    & (s.n_iter < cfg.max_iterations))
 
                 def body(carry):
-                    return self._chunk_batch(*carry)
+                    return self._chunk_impl(*carry, grid, consts)
 
                 return jax.lax.while_loop(running, body, (state, ri))
 
-            # the packed result buffer rides the same launch — no extra
-            # dispatch/fetch RTT for it
+            # grid/consts stay jit ARGUMENTS through the drive (sharing
+            # executables across datasets on the XLA path); the packed
+            # result buffer rides the same launch — no extra RTT
             if self._fast_pack:
-                def drive(state, ri):
-                    state, ri = drive_loop(state, ri)
+                def drive(state, ri, grid, consts):
+                    state, ri = drive_loop(state, ri, grid, consts)
                     return state, ri, pack_result(state)
             else:
-                def drive(state, ri):
-                    state, ri = drive_loop(state, ri)
+                def drive(state, ri, grid, consts):
+                    state, ri = drive_loop(state, ri, grid, consts)
                     return state, ri, jnp.zeros((), jnp.float32)
 
-            self._drive = jax.jit(drive)
+            _drive = jax.jit(drive)
+            self._drive = lambda state, ri: _drive(
+                state, ri, self.grid, self.consts)
 
             # first attempt fused with initialization: seed → keys →
             # init + whole-attempt while_loop in ONE device launch (each
@@ -376,7 +387,8 @@ class McSASEngine:
                     jax.random.PRNGKey(seed), cfg.num_reps)
                 state = jax.vmap(
                     lambda k: self._init_rep(k, grid, consts))(keys)
-                return drive(state, jnp.zeros((), jnp.int32))
+                return drive(state, jnp.zeros((), jnp.int32), grid,
+                             consts)
 
             _init_drive = jax.jit(init_drive)
             self._init_drive = lambda seed: _init_drive(
