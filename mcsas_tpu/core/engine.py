@@ -212,7 +212,12 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
     sigma[sigma == 0.0] = 1.0
     u_max = float(np.max(1.0 / sigma ** 2))
     n_grid = float(np.asarray(data.q).shape[0])
-    row_clamp = math.sqrt(3e37 / (max(u_max, 1e-300) * n_grid))
+    # budget divided by num_contribs: ft sums N rows, so even with EVERY
+    # contribution parked at the clamp the total Σu·ft² stays below the
+    # float32 overflow threshold (a single-row budget can still NaN the
+    # solve at initialization with extreme ranges)
+    row_clamp = math.sqrt(3e37 / (max(u_max, 1e-300) * n_grid)) \
+        / max(float(cfg.num_contribs), 1.0)
     row_clamp = max(row_clamp, 1e3)   # stay far above the working range
 
     def intensity_row(grid, pvec):

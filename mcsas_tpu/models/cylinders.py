@@ -106,8 +106,8 @@ def _cyl_iso_table_factory(bound, q_grid, dtype):
         return _cyl_iso_ff_ab(q32 * p["radius"],
                               q32 * (2.0 * _cyl_half(p)), n, dtype)
 
-    key = ("CylindersIsotropic", n, tab_params, len(q32),
-           float(np.asarray(q_grid).sum()),
+    key = ("CylindersIsotropic", n, tab_params,
+           tables.grid_fingerprint(q_grid),
            tuple(sorted(fixed.items())))
     tab = tables.build_param_table(row_fn, grids, dtype, cache_key=key)
     lookup = tables.make_lookup(tab.axes, tab_params)

@@ -72,8 +72,8 @@ def _ell_iso_table_factory(bound, q_grid, dtype):
         return _ell_iso_ff_uv(q32 * p["a"], q32 * _ell_iso_rc(p), n,
                               dtype)
 
-    key = ("EllipsoidsIsotropic", n, tab_params, len(q32),
-           float(np.asarray(q_grid).sum()),
+    key = ("EllipsoidsIsotropic", n, tab_params,
+           tables.grid_fingerprint(q_grid),
            tuple(sorted(fixed.items())))
     tab = tables.build_param_table(row_fn, grids, dtype, cache_key=key)
     lookup = tables.make_lookup(tab.axes, tab_params)
@@ -185,8 +185,8 @@ def _ell_cs_table_factory(bound, q_grid, dtype):
             p[name] = vals[i]
         return _ell_cs_ff(q32, p)
 
-    key = ("EllipsoidalCoreShell", n, tab_params, len(q32),
-           float(np.asarray(q_grid).sum()),
+    key = ("EllipsoidalCoreShell", n, tab_params,
+           tables.grid_fingerprint(q_grid),
            tuple(sorted(fixed.items())))
     tab = tables.build_param_table(row_fn, grids, dtype, block=128,
                                    cache_key=key)

@@ -59,7 +59,11 @@ def vmem_bytes(engine, n_reps=None) -> int:
     """
     cfg, bound = engine.cfg, engine.bound
     r = int(cfg.num_reps if n_reps is None else n_reps)
-    nq = pad_lanes(int(engine.grid.shape[0]))
+    # tuple-tolerant like _pad_fit_grid: smearing/table grids are tuples
+    # (currently short-circuited by supports(), but eligibility ordering
+    # must not be able to crash engine construction)
+    main = engine.grid[0] if isinstance(engine.grid, tuple) else engine.grid
+    nq = pad_lanes(int(main.shape[0]))
     n = int(cfg.num_contribs)
     k = int(cfg.candidates_per_step)
     p = max(bound.n_active, 1)
@@ -136,11 +140,13 @@ def build_chunk_fn(engine, interpret=None):
     if bound.model.ff_fast is not None:
         model_ff = bound.model.ff_fast
     # identical float32 overflow guard as make_intensity_kernels
+    # (incl. the num_contribs division of the clamp budget)
     sigma = np.asarray(engine.data.fu, np.float64).copy()
     sigma[sigma == 0.0] = 1.0
     row_clamp = float(max(
         (3e37 / (max(float(np.max(1.0 / sigma ** 2)), 1e-300)
-                 * float(engine.data.count))) ** 0.5, 1e3))
+                 * float(engine.data.count))) ** 0.5
+        / max(float(n), 1.0), 1e3))
 
     def kernel(q_ref, y_ref, u_ref, sc_ref, ranges_ref, seed_ref, ri_ref,
                rset_in, ibank_in, ft_in, fstate_in, istate_in,

@@ -34,6 +34,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def grid_fingerprint(q_grid) -> str:
+    """Collision-safe cache-key fingerprint of a q grid: digest of the
+    full float64 byte content (two datasets with equal point count and
+    coincidentally equal sums must not share a baked table)."""
+    import hashlib
+    return hashlib.sha1(
+        np.ascontiguousarray(np.asarray(q_grid, np.float64)).tobytes()
+    ).hexdigest()
+
+
 def log_grid(lo: float, hi: float, n: int) -> np.ndarray:
     """Log-spaced grid; degenerate ranges widen to a factor-2 bracket so
     the interpolation stays well-defined."""

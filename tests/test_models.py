@@ -198,6 +198,48 @@ def test_lma_explicit_mf():
     assert np.all(np.isfinite(got))
 
 
+def test_sine_integral_vs_scipy():
+    """ops.special.sine_integral against scipy.special.sici over both the
+    Taylor and Gauss-Laguerre branches (incl. the y=6 cutover)."""
+    from mcsas_tpu.ops.special import sine_integral
+    y = np.concatenate([np.linspace(0.0, 8.0, 300),
+                        np.geomspace(8.0, 1e4, 200)])
+    got = np.asarray(jax.jit(sine_integral)(y))
+    want = scipy.special.sici(y)[0]
+    np.testing.assert_allclose(got, want, rtol=5e-13, atol=5e-13)
+
+
+def test_kholodenko_conv_rule_vs_adaptive_quad():
+    """The converged Filon/Boole rule over the whole (t, x) operating
+    domain, including frequencies F ≈ 170 where even the 2048-node GL
+    head rule drifts to ~1e-2; the conv rule must stay ≤1e-6."""
+    from mcsas_tpu.models.chains import _kho_p0_sq_conv
+
+    def ref(t, x):
+        def f(z):
+            if z <= 1e-300:
+                return 2.0 / x
+            if t < 1:
+                e = math.sqrt(1 - t * t)
+                fz = (math.sinh(e * z) / (e * math.sinh(z)) if z < 500
+                      else math.exp((e - 1) * z) / e)
+            else:
+                F = math.sqrt(t * t - 1)
+                fz = math.sin(F * z) / (F * math.sinh(z))
+            return fz * (2.0 / x) * (1.0 - z / x)
+        val, _ = scipy.integrate.quad(f, 0, x, limit=5000,
+                                      epsabs=1e-14, epsrel=1e-12)
+        return val
+
+    ts = np.array([0.01, 0.5, 0.95, 0.9999, 1.0001, 1.2, 2.0,
+                   10.0, 60.0, 167.0])
+    fn = jax.jit(_kho_p0_sq_conv)
+    for x in (6.0, 39.5, 40.5, 300.0):
+        got = np.asarray(fn(ts, np.float64(x)))
+        want = np.array([ref(t, x) for t in ts])
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-14)
+
+
 def test_kholodenko_vs_adaptive_quad():
     """Fixed Gauss-Legendre panels vs scipy adaptive quad
     (the reference integrator: models/kholodenko.py:31-38)."""
