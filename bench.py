@@ -4,8 +4,13 @@
 sasfit_sphere-10-1.dat (300 contributions), the BASELINE.json north star.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-value = wall-clock seconds for the MC optimization (compile excluded via a
-warm-up run; the persistent compilation cache makes repeat processes fast).
+value = wall-clock seconds for the COMPLETE fit() pipeline — MC
+optimization + float64 post analysis + histogramming — matching what the
+reference's 36 s covers (button-click to result,
+doc/source/quickstart.rst:106 + gui/calc.py:311-327).  Compile/trace is
+excluded via a warm-up call (persistent compile cache + in-process
+executable caches make repeat fits this fast for users too).  ``mc_s`` /
+``vs_baseline_mc`` report the MC-optimization segment alone.
 vs_baseline = reference CPU quickstart seconds (36 s, an equivalent
 10-rep/300-contribution sphere fit on a 3.4 GHz i7) divided by value.
 """
@@ -209,14 +214,28 @@ def main():
         res = eng.run()
         elapsed = min(elapsed, time.perf_counter() - t0)
 
-    converged = bool(res.converged.all())
-    value = elapsed if converged else -1.0
+    # the honest end-to-end number: the complete fit() pipeline (MC +
+    # float64 post pass + histograms), apples-to-apples with the
+    # reference's 36 s button-click-to-result quickstart
+    full = mt.fit(data, model=bound, cfg=cfg)        # warm-up (post jit)
+    full_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        full = mt.fit(data, model=bound, cfg=cfg)
+        full_s = min(full_s, time.perf_counter() - t0)
+
+    converged = bool(res.converged.all()) and full.converged
+    value = full_s if converged else -1.0
     out = {
-        "metric": "wall-clock 10-rep sphere MC fit to chi2<=1 "
-                  "(sasfit_sphere-10-1, 300 contribs)",
+        "metric": "wall-clock 10-rep sphere full fit() to chi2<=1 "
+                  "(MC + f64 post + histograms; sasfit_sphere-10-1, "
+                  "300 contribs)",
         "value": round(value, 4),
         "unit": "s",
-        "vs_baseline": round(REFERENCE_SECONDS / elapsed, 2)
+        "vs_baseline": round(REFERENCE_SECONDS / full_s, 2)
+        if converged else 0.0,
+        "mc_s": round(elapsed, 4),
+        "vs_baseline_mc": round(REFERENCE_SECONDS / elapsed, 2)
         if converged else 0.0,
         "proposals_per_sec": round(res.iters_per_sec),
         "converged_reps": int(res.converged.sum()),

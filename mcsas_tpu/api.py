@@ -190,6 +190,30 @@ def _default_unbounded_ranges(bound: BoundModel, data: SASData
                             fixed=dict(bound.fixed))
 
 
+# engines fully traced for one (data content, model, config) triple —
+# reused across fit() calls so repeat/series fits skip the ~1 s of
+# re-tracing + MLIR lowering (XLA compiles are already shared via the
+# persistent cache, but lowering happens per fresh jit wrapper)
+_ENGINE_CACHE: dict = {}
+_ENGINE_CACHE_CAP = 8
+
+
+def _cached_engine(engine_cls, data: SASData, bound: BoundModel,
+                   cfg: McSASConfig):
+    try:
+        key = (engine_cls, data.content_key(), bound, cfg)
+        hash(key)
+    except TypeError:        # unhashable custom model piece: build fresh
+        return engine_cls(data, bound, cfg)
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        eng = engine_cls(data, bound, cfg)
+        if len(_ENGINE_CACHE) >= _ENGINE_CACHE_CAP:
+            _ENGINE_CACHE.pop(next(iter(_ENGINE_CACHE)))
+        _ENGINE_CACHE[key] = eng
+    return eng
+
+
 def fit(data: Union[SASData, str, os.PathLike],
         model=None,
         cfg: Optional[McSASConfig] = None,
@@ -216,7 +240,7 @@ def fit(data: Union[SASData, str, os.PathLike],
         from .parallel import ShardedEnsemble
         engine = ShardedEnsemble(data, bound, cfg, mesh=mesh)
     else:
-        engine = engine_cls(data, bound, cfg)
+        engine = _cached_engine(engine_cls, data, bound, cfg)
     eng_result = engine.run(stop=stop, progress=progress)
     if not eng_result.converged.all() and not cfg.show_incomplete:
         log.warning(

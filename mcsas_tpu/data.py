@@ -225,6 +225,29 @@ class SASData:
     def uses_smearing(self) -> bool:
         return self.locs is not None
 
+    def content_key(self) -> str:
+        """Collision-safe digest of everything the fit consumes: the fit
+        grid, the smearing contraction and the preprocessing config.  Used
+        to key executable caches (api.fit engine reuse, the post-pass jit)
+        so repeat fits of identical inputs skip re-tracing."""
+        memo = self.__dict__.get("_content_key")
+        if memo is not None:
+            return memo
+        import hashlib
+        h = hashlib.sha256()
+        for arr in (self.q, self.f, self.fu, self.psi, self.locs,
+                    self.smear_w):
+            if arr is None:
+                h.update(b"\x00none")
+            else:
+                a = np.ascontiguousarray(np.asarray(arr, np.float64))
+                h.update(str(a.shape).encode())
+                h.update(a.tobytes())
+        h.update(repr(self.config).encode())
+        key = h.hexdigest()
+        object.__setattr__(self, "_content_key", key)
+        return key
+
     def with_config(self, config: DataConfig) -> "SASData":
         return _build(self.title, self.filename, self.raw, config)
 

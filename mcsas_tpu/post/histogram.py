@@ -19,13 +19,14 @@ from __future__ import annotations
 import dataclasses
 import math
 from dataclasses import dataclass, field
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import McSASConfig
+from ..core.fitcore import agofs as agofs_fn
 from ..core.fitcore import make_constants, solve_scale_bg
 from ..data import SASData
 from ..models.base import BoundModel
@@ -159,15 +160,36 @@ class FractionsResult:
 
 # ------------------------------------------------------------ computation
 
-def _banks_f64(bound: BoundModel, data: SASData, cfg: McSASConfig,
-               contribs: np.ndarray):
-    """(R, N, Nq) SI intensity banks + per-contribution properties for the
-    whole ensemble in one batched float64 evaluation."""
+# jitted post-pass executables keyed on (data content, bound model, the
+# cfg fields the trace depends on, ensemble shape): repeat fits of the
+# same problem skip re-tracing/re-lowering (~0.3 s per call)
+_POST_JIT_CACHE: Dict[tuple, Callable] = {}
+_POST_JIT_CAP = 16
+
+
+def _post_pass_f64(bound: BoundModel, data: SASData, cfg: McSASConfig,
+                   contribs: np.ndarray):
+    """The whole per-repetition float64 analysis in ONE jitted call on the
+    CPU backend: per-contribution properties, the scale/background solve,
+    fitted curves, aGoFs and the observability min-ratio.
+
+    The (R, N, Nq) intensity bank never leaves the graph (XLA fuses the
+    reductions), and the per-rep eager solve loop of the round-2 code —
+    ~30 dispatched host ops per repetition — collapses into one vmapped
+    executable.  Reference equivalent: the per-contribution Python loops
+    of mcsas.py:549-594."""
     comp_exp = cfg.compensation_exponent
     two_d = data.psi is not None and bound.model.ff2d is not None
     smearing = (data.uses_smearing and bound.model.can_smear
                 and not two_d)
     grid = data.locs if smearing else data.q
+    n_params = contribs.shape[2]
+
+    cache_key = (data.content_key(), bound, comp_exp, cfg.find_background,
+                 cfg.positive_background, contribs.shape)
+    cached = _POST_JIT_CACHE.get(cache_key)
+    if cached is not None:
+        return cached(contribs)
 
     def row(pvec):
         if two_d:
@@ -183,11 +205,47 @@ def _banks_f64(bound: BoundModel, data: SASData, cfg: McSASConfig,
             it = ffv * ffv * w
         return it, w, bound.absvolume(pvec), bound.surf(pvec)
 
+    def rep_fn(rset, consts, sigma_raw):
+        bank, wset, vset, sset = jax.vmap(row)(rset)       # (N, Nq), (N,)
+        ft = jnp.sum(bank, axis=0)
+        # normalize before solving — keeps the scale-invariant degeneracy
+        # guards of solve_scale_bg honest at SI magnitudes (~1e-30); the
+        # fitted scale reverts the factor exactly
+        ft_norm = jnp.maximum(jnp.max(jnp.abs(ft)), 1e-300)
+        sol = solve_scale_bg(ft / ft_norm, consts,
+                             cfg.find_background, cfg.positive_background)
+        a = sol.scale / ft_norm
+        b = sol.background
+        measval = a * ft + b
+        # alternative goodness-of-fit [Henn 2016] — the tested fitcore
+        # implementation (reference: backgroundscalingfit.py:79-84,136-138)
+        ag = agofs_fn(ft, a, b, consts, n_params)
+        # observability: min over q of σ/I_partial — the solve scale in
+        # the reference's σ·vf/(A·I_partial) cancels against the one in
+        # vf = w·A/v (mcsas.py:574-594); multiplied back by w/v per
+        # weighting in compute_fractions
+        pos = bank > 0.0
+        ratio = jnp.where(pos,
+                          sigma_raw[None, :] / jnp.where(pos, bank, 1.0),
+                          jnp.inf)
+        minq = jnp.min(ratio, axis=1)                      # (N,)
+        return wset, vset, sset, a, b, measval, ag, minq
+
     with jax.default_device(_cpu_device()):
-        bank, wset, vset, sset = jax.jit(jax.vmap(jax.vmap(row)))(
-            jnp.asarray(contribs, jnp.float64))
-    return (np.asarray(bank, np.float64), np.asarray(wset, np.float64),
-            np.asarray(vset, np.float64), np.asarray(sset, np.float64))
+        consts = make_constants(data.f, data.fu, jnp.float64)
+        sigma_raw = jnp.asarray(np.asarray(data.fu, np.float64))
+    jitted = jax.jit(jax.vmap(rep_fn, in_axes=(0, None, None)))
+
+    def call(contribs):
+        with jax.default_device(_cpu_device()):
+            out = jitted(jnp.asarray(contribs, jnp.float64), consts,
+                         sigma_raw)
+        return tuple(np.asarray(o, np.float64) for o in out)
+
+    if len(_POST_JIT_CACHE) >= _POST_JIT_CAP:
+        _POST_JIT_CACHE.pop(next(iter(_POST_JIT_CACHE)))
+    _POST_JIT_CACHE[cache_key] = call
+    return call(contribs)
 
 
 def compute_fractions(contribs: np.ndarray, data: SASData,
@@ -199,39 +257,15 @@ def compute_fractions(contribs: np.ndarray, data: SASData,
     frac = {w: np.zeros((n, n_reps)) for w in WEIGHTINGS}
     minr = {w: np.zeros((n, n_reps)) for w in WEIGHTINGS}
     total = {w: np.zeros(n_reps) for w in WEIGHTINGS}
-    scaling = np.zeros((2, n_reps))
-    volumes = np.zeros((n, n_reps))
-    surfaces = np.zeros((n, n_reps))
-    agofs = np.zeros(n_reps)
-    measval = np.zeros((n_reps, len(np.asarray(data.f))))
-    sigma = np.asarray(data.fu, np.float64)
-    with jax.default_device(_cpu_device()):
-        consts = make_constants(data.f, data.fu, jnp.float64)
-    banks, wsets, vsets, ssets = _banks_f64(bound, data, cfg, contribs)
+    (wsets, vsets, ssets, a_arr, b_arr, measval, agofs,
+     minqs) = _post_pass_f64(bound, data, cfg, contribs)
+    scaling = np.stack([a_arr, b_arr])                     # (2, R)
+    volumes = vsets.T.copy()                               # (N, R)
+    surfaces = ssets.T.copy()
 
     for ri in range(n_reps):
-        bank, wset = banks[ri], wsets[ri]
-        vset, sset = vsets[ri], ssets[ri]
-        ft = bank.sum(axis=0)
-        # normalize before solving: SI-scale intensities (~1e-30) underflow
-        # float32 reductions, and the TPU backend silently truncates f64 —
-        # the fitted scale is exactly renormalized afterwards
-        ft_norm = float(np.max(np.abs(ft))) or 1.0
-        with jax.default_device(_cpu_device()):
-            sol = solve_scale_bg(jnp.asarray(ft / ft_norm), consts,
-                                 cfg.find_background,
-                                 cfg.positive_background)
-        a, b = float(sol.scale) / ft_norm, float(sol.background)
-        scaling[:, ri] = (a, b)
-        measval[ri] = a * ft + b
-        # alternative goodness-of-fit [Henn 2016] with the 1/alpha factor
-        # (reference: backgroundscalingfit.py:79-84,136-138)
-        resid = np.asarray(data.f) - (a * ft + b)
-        n_pts = len(resid)
-        agofs[ri] = ((resid ** 2).sum() / (sigma ** 2).sum()
-                     * n_pts / max(n_pts - contribs.shape[2], 1))
-        volumes[:, ri] = vset
-        surfaces[:, ri] = sset
+        wset, vset, sset = wsets[ri], vsets[ri], ssets[ri]
+        a = a_arr[ri]
 
         # fractions (mcsas.py:565-572); weights revert the intensity
         # normalization through the scaling, volumes stay absolute
@@ -248,14 +282,8 @@ def compute_fractions(contribs: np.ndarray, data: SASData,
         total["int"][ri] = isf.sum()
         total["surf"][ri] = sf.sum()
 
-        # observability: min over q of σ·vf_c / (A·I_partial_c)
-        # (vectorized form of mcsas.py:574-594)
-        denom = a * bank
-        ratio = np.where(denom != 0.0,
-                         sigma[None, :] * vf[:, None]
-                         / np.where(denom != 0.0, denom, 1.0),
-                         np.inf)
-        mrv = ratio.min(axis=1)
+        # observability limits per weighting (mcsas.py:574-594)
+        mrv = (wset / vset) * minqs[ri]
         minr["vol"][:, ri] = mrv
         minr["num"][:, ri] = mrv / vset
         minr["int"][:, ri] = (mrv / vset) * mrv * mrv
