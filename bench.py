@@ -49,6 +49,33 @@ def synth_golden(kind):
     import jax.numpy as jnp
     from mcsas_tpu.data import DataConfig, from_raw
 
+    if kind == "cylinder-smeared":
+        # slit-smeared synthetic cylinder: the golden intensity is the
+        # model's own converged rule pushed through the SAME trapezoid
+        # contraction the fit will use, so the smeared-table tier has an
+        # exact target (reference smearing: sasmodel.py:56-73)
+        from mcsas_tpu.data import TrapezoidSmearing
+        from mcsas_tpu.models.cylinders import _cyl_iso_ff_ab
+        q_nm = np.geomspace(0.01, 2.0, 100)
+        sm = TrapezoidSmearing(do_smear=True, n_steps=25, umbra=0.05e9,
+                               penumbra=0.2e9)
+        dcfg = DataConfig(n_bin=0, smearing=sm)
+        ones = np.ones_like(q_nm)
+        d0 = from_raw(np.column_stack([q_nm, ones, 0.01 * ones]),
+                      config=dcfg)
+        assert d0.uses_smearing
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            locs = jnp.asarray(np.asarray(d0.locs, np.float64))
+            r, asp = 10e-9, 10.0
+            ff = jax.jit(lambda q: _cyl_iso_ff_ab(
+                q * r, q * (2.0 * r * asp), 801, jnp.float64))(locs)
+            i = np.asarray((ff * ff) @ jnp.asarray(
+                np.asarray(d0.smear_w, np.float64)))
+        i = i / i.max()
+        return from_raw(np.column_stack([q_nm, i, 0.01 * i]),
+                        title="synthetic-cylinder-smeared", config=dcfg)
+
     q_nm = np.geomspace(0.01, 2.0, 100)
     q_si = jnp.asarray(q_nm * 1e9, jnp.float64)
     cpu = jax.devices("cpu")[0]
@@ -103,6 +130,13 @@ def suite():
         ("kholodenko-worm", f"{ref}/sasfit_kho-1-10-1000.dat",
          "Kholodenko", None, None, 1.0, 128, 24_000_000),
         ("cylinders-isotropic", "synth:cylinder",
+         "CylindersIsotropic", ("radius",),
+         {"radius": (0.5 * nm, 300 * nm)}, 1.0, 128, 8_000_000),
+        # round-3: the smeared-quadrature worst case rides the smeared
+        # param-table tier (rows baked against the dataset's contraction)
+        # + the bounded single-launch drive instead of paying both the
+        # in-loop quadrature and per-chunk RTT
+        ("cylinders-smeared", "synth:cylinder-smeared",
          "CylindersIsotropic", ("radius",),
          {"radius": (0.5 * nm, 300 * nm)}, 1.0, 128, 8_000_000),
         # the synthetic golden ellipsoid has aspect 3 (see synth_golden)

@@ -183,23 +183,49 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
         model_ff = bound.model.ff_fast
     # parameter-grid row table (ops/tables.py): replaces the quadrature
     # with a multilinear row blend — strictly the fastest fit-grade tier.
-    # Rows are baked against THIS fit grid, so it is disabled when the
-    # kernel would see a different grid (smearing locs, q-axis shards).
+    # Rows are baked against THIS fit grid — including, for smeared fits,
+    # against the dataset's own smearing contraction: the rows then store
+    # the smeared INTENSITY (ff²(locs) @ smear_w) directly and the
+    # lookup's result skips the squaring (reference smearing path:
+    # src/mcsas/bases/model/sasmodel.py:56-73).  Still disabled for
+    # q-axis shards (each device would need its own bake) and 2D.
     # The table VALUES join the grid pytree as a jit *argument* — baking
     # them into the executable as closure constants would force a fresh
     # (remote, 15-300 s) compile per dataset.
     used_table = False
     table_fn = None
+    table_is_intensity = False
+    factory = bound.model.ff_table_factory
+    if smearing and factory is not None:
+        # plugin factories predating the smear tier keep working: only
+        # call them smeared if they declare the keyword
+        import inspect
+        try:
+            has_smear = "smear" in inspect.signature(factory).parameters
+        except (TypeError, ValueError):
+            has_smear = False
+        factory = factory if has_smear else None
     if (jnp.dtype(dtype) == jnp.float32
-            and bound.model.ff_table_factory is not None
-            and not smearing and not two_d
+            and factory is not None
+            and not two_d
             and allow_table
             and cfg.table_ff_enabled()):
-        table_ret = bound.model.ff_table_factory(
-            bound, np.asarray(data.q, np.float64), dtype)
+        kw = {}
+        if smearing:
+            kw["smear"] = (np.asarray(data.locs, np.float64),
+                           np.asarray(data.smear_w, np.float64))
+        table_ret = factory(
+            bound, np.asarray(data.q, np.float64), dtype, **kw)
         if table_ret is not None:
-            table_fn, table_values = table_ret
+            if len(table_ret) == 3:
+                table_fn, table_values, kind = table_ret
+                table_is_intensity = kind == "intensity"
+            else:
+                table_fn, table_values = table_ret
             used_table = True
+            # smeared tables keep (locs, smear_w) as the inner grid so a
+            # partially-tabulated lookup (e.g. Kholodenko's exact q-axis
+            # cross-section factor) can finish the contraction in-kernel
             full_grid = (full_grid, jnp.asarray(table_values))
 
     # float32 overflow guard: candidate rows at extreme range corners can
@@ -225,7 +251,7 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
         if used_table:
             gq, tvals = grid
             ffv = table_fn(gq, tvals, bound.pdict(pvec))
-            row = ffv * ffv * w
+            row = ffv * w if table_is_intensity else ffv * ffv * w
         elif two_d:
             ffv = bound.model.ff2d(grid[:, 0], grid[:, 1],
                                    bound.pdict(pvec))
@@ -345,27 +371,47 @@ class McSASEngine:
 
         # single-launch driver: a device-side while_loop over chunks runs
         # one whole attempt without any host round trip (the remote-attach
-        # RTT per launch is material).  Only for FAST bodies (Pallas or
-        # elementwise XLA): a quadrature-heavy body blows up compile
-        # time, and a slow body (table gathers) can keep a single launch
-        # on-device for minutes, which trips the remote worker's watchdog
-        # ("TPU worker crashed").  Table models use the host chunk loop —
-        # at ~150 ms/chunk the per-launch RTT is noise.
+        # RTT per launch is material).  FAST bodies (Pallas or elementwise
+        # XLA) run unbounded; table bodies (row gathers, ~100 µs/step) use
+        # a BOUNDED while_loop — a trip cap keeps each launch a few
+        # seconds, well under the remote worker's watchdog ("TPU worker
+        # crashed" on multi-minute launches) while still amortizing the
+        # per-launch RTT across many chunks.  Quadrature-heavy bodies
+        # (no table) keep the host chunk loop: wrapping them in a
+        # while_loop blows up (remote) compile time.
         self._drive = None
-        if (self.uses_pallas
-                or (bound.model.elementwise_q and not self.uses_table)):
+        fast_body = (self.uses_pallas
+                     or (bound.model.elementwise_q and not self.uses_table))
+        if fast_body or self.uses_table:
+            drive_trips = None if fast_body else 32
             crit = float(cfg.convergence_criterion)
 
             def drive_loop(state, ri, grid, consts):
-                def running(carry):
-                    s, _ = carry
+                def live(s):
                     return jnp.any((s.conval > crit)
                                    & (s.n_iter < cfg.max_iterations))
 
-                def body(carry):
-                    return self._chunk_impl(*carry, grid, consts)
+                if drive_trips is None:
+                    def running(carry):
+                        return live(carry[0])
 
-                return jax.lax.while_loop(running, body, (state, ri))
+                    def body(carry):
+                        return self._chunk_impl(*carry, grid, consts)
+
+                    return jax.lax.while_loop(running, body, (state, ri))
+
+                def running(carry):
+                    (s, _), trip = carry
+                    return (trip < drive_trips) & live(s)
+
+                def body(carry):
+                    (s, ri_c), trip = carry
+                    return (self._chunk_impl(s, ri_c, grid, consts),
+                            trip + 1)
+
+                (state, ri), _ = jax.lax.while_loop(
+                    running, body, ((state, ri), jnp.zeros((), jnp.int32)))
+                return state, ri
 
             # grid/consts stay jit ARGUMENTS through the drive (sharing
             # executables across datasets on the XLA path); the packed

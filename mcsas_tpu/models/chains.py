@@ -49,6 +49,7 @@ def _gauss_volume(p):
 GaussianChain = SASModel(
     name="GaussianChain",
     elementwise_q=True,
+    can_smear=True,
     doc="Debye Gaussian polymer coil with excess scattering length β "
         "(SASfit Gauss2)",
     params=(
@@ -301,19 +302,30 @@ def _kho_ff_fast(q, p):
     return _kho_ff_impl(q, p, head=_FAST_HEAD)
 
 
-def _kho_table_factory(bound, q_grid, dtype):
+def _kho_table_factory(bound, q_grid, dtype, smear=None):
     """Fit-grade parameter-grid row table of the worm backbone p0 for the
     float32 MC loop (see ops/tables.py::ParamTable); the circular
     cross-section 2·j1(qr)/qr stays an exact elementwise factor, so the
-    radius axis never needs tabulating."""
+    radius axis never needs tabulating.
+
+    With *smear* = (locs, smear_w) the backbone rows are baked on the
+    FLATTENED locs grid; the lookup applies the exact cross-section at
+    each smearing offset and finishes the contraction in-kernel — the
+    radius axis still never needs tabulating."""
     from ..ops import tables
     tab_params = tuple(p for p in bound.active
                        if p in ("lenKuhn", "lenContour"))
-    res = {0: (), 1: (2048,), 2: (256, 48)}[len(tab_params)]
+    # smeared rows are n_off× wider: trade parameter-grid resolution for
+    # bake time/memory (interpolation error stays fit-grade)
+    res = tables.cap_res(
+        ({0: (), 1: (2048,), 2: (256, 48)} if smear is None else
+         {0: (), 1: (1024,), 2: (96, 24)})[len(tab_params)])
     grids = [tables.log_grid(*tables.param_product_range(bound, p), nn)
              for p, nn in zip(tab_params, res)]
     fixed = dict(bound.fixed)
-    qd = jnp.asarray(np.asarray(q_grid), dtype)
+    locs = None if smear is None else np.asarray(smear[0])  # (Nq, n_off)
+    qd = jnp.asarray(np.asarray(q_grid) if smear is None
+                     else locs.ravel(), dtype)
 
     def row_fn(vals):
         p = dict(fixed)
@@ -326,10 +338,22 @@ def _kho_table_factory(bound, q_grid, dtype):
             3.0 * p["lenContour"] / p["lenKuhn"]))
 
     key = ("Kholodenko", tab_params, tables.grid_fingerprint(q_grid),
+           tables.smear_fingerprint(smear),
            tuple(sorted(fixed.items())))
     tab = tables.build_param_table(row_fn, grids, dtype, block=64,
                                    cache_key=key)
     lookup = tables.make_lookup(tab.axes, tab_params)
+
+    if smear is not None:
+        def ff(gq, values, p):
+            # gq = (locs, smear_w): backbone from the table, exact
+            # cross-section per smearing offset, contraction in-kernel
+            locs32, sw32 = gq
+            p0 = lookup(values, p).reshape(locs32.shape)
+            f = p0 * 2.0 * j1_over_x(locs32 * p["radius"])
+            return (f * f) @ sw32
+
+        return ff, tab.values, "intensity"
 
     def ff(q, values, p):
         # backbone rows are valid only on the baked fit grid (the engine
@@ -347,6 +371,7 @@ def _kho_volume(p):
 
 Kholodenko = SASModel(
     name="Kholodenko",
+    can_smear=True,
     doc="Worm-like chain after Kholodenko (Macromolecules 26 (1993) 4179)",
     params=(
         ParamSpec("radius", NM.to_si(1.0), NM, (0.0, float("inf")),

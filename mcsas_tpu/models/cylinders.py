@@ -74,13 +74,18 @@ def _cyl_iso_ff(q, p):
                           int(p["intDiv"]), q.dtype)
 
 
-def _cyl_iso_table_factory(bound, q_grid, dtype):
+def _cyl_iso_table_factory(bound, q_grid, dtype, smear=None):
     """Fit-grade parameter-grid row table for the float32 MC loop (see
     ops/tables.py::ParamTable): rows over the active size parameters,
     the q axis exact.  Built with a converged rule — the model's default
     intDiv=100 trapezoid carries up to ~20% discretization noise at qR
     in [10, 100] (measured vs n=801); the table targets the true
-    integral."""
+    integral.
+
+    With *smear* = (locs, smear_w) the rows are the SMEARED intensity
+    (ff²(locs) @ smear_w) baked against the engine's own contraction —
+    the lookup then returns intensity, not amplitude (reference smearing
+    path: src/mcsas/bases/model/sasmodel.py:56-73)."""
     from ..ops import tables
     fixed = dict(bound.fixed)
     if "useAspect" not in fixed:        # not fittable, so always fixed
@@ -91,10 +96,15 @@ def _cyl_iso_table_factory(bound, q_grid, dtype):
     rele = (("radius", "aspect") if fixed["useAspect"] != 0.0
             else ("radius", "length"))
     tab_params = tuple(p for p in bound.active if p in rele)
-    res = {0: (), 1: (4096,), 2: (512, 64)}[len(tab_params)]
+    res = tables.cap_res({0: (), 1: (4096,),
+                          2: (512, 64)}[len(tab_params)])
     grids = [tables.log_grid(*tables.param_product_range(bound, p), nn)
              for p, nn in zip(tab_params, res)]
-    q32 = jnp.asarray(np.asarray(q_grid), dtype)
+    if smear is None:
+        q32 = jnp.asarray(np.asarray(q_grid), dtype)
+    else:
+        q32 = jnp.asarray(np.asarray(smear[0]), dtype)      # (Nq, n_off)
+        sw32 = jnp.asarray(np.asarray(smear[1]), dtype)
 
     def row_fn(vals):
         p = dict(fixed)
@@ -103,24 +113,33 @@ def _cyl_iso_table_factory(bound, q_grid, dtype):
         # active params outside `rele` do not enter the form factor
         for name in bound.active:
             p.setdefault(name, 1.0)
-        return _cyl_iso_ff_ab(q32 * p["radius"],
-                              q32 * (2.0 * _cyl_half(p)), n, dtype)
+        f = _cyl_iso_ff_ab(q32 * p["radius"],
+                           q32 * (2.0 * _cyl_half(p)), n, dtype)
+        return (f * f) @ sw32 if smear is not None else f
 
     key = ("CylindersIsotropic", n, tab_params,
            tables.grid_fingerprint(q_grid),
+           tables.smear_fingerprint(smear),
            tuple(sorted(fixed.items())))
-    tab = tables.build_param_table(row_fn, grids, dtype, cache_key=key)
+    # smeared rows evaluate on the full (Nq, n_off, n_quad) block: keep
+    # the per-block temporary bounded
+    block = 8 if smear is not None else 256
+    tab = tables.build_param_table(row_fn, grids, dtype, block=block,
+                                   cache_key=key)
     lookup = tables.make_lookup(tab.axes, tab_params)
 
     def ff(q, values, p):
         # valid only on the baked fit grid (the engine always passes it)
         return lookup(values, p)
 
+    if smear is not None:
+        return ff, tab.values, "intensity"
     return ff, tab.values
 
 
 CylindersIsotropic = SASModel(
     name="CylindersIsotropic",
+    can_smear=True,
     doc="Orientation-averaged isotropic cylinders (SASfit eq. 3.215)",
     params=(
         ParamSpec("radius", NM.to_si(1.0), NM,
@@ -165,6 +184,7 @@ def _cyl_iso_aspect_ff(q, p):
 
 CylindersIsotropicAspect = SASModel(
     name="CylindersIsotropicAspect",
+    can_smear=True,
     doc="Legacy aspect-ratio cylinder over a ψ grid",
     params=(
         ParamSpec("radius", NM.to_si(1.0), NM, (0.0, float("inf")),

@@ -46,11 +46,12 @@ def _ell_iso_ff(q, p, _ff=sphere_ff):
                           int(p["intDiv"]), q.dtype, _ff=_ff)
 
 
-def _ell_iso_table_factory(bound, q_grid, dtype):
+def _ell_iso_table_factory(bound, q_grid, dtype, smear=None):
     """Fit-grade parameter-grid row table for the float32 MC loop (see
     ops/tables.py::ParamTable); built with a converged α-rule (target the
     true orientation integral, not the reference's intDiv=100
-    discretization of it)."""
+    discretization of it).  With *smear* = (locs, smear_w) the rows are
+    the smeared intensity ff²(locs) @ smear_w (see cylinders.py)."""
     from ..ops import tables
     fixed = dict(bound.fixed)
     if "useAspect" not in fixed:
@@ -58,10 +59,15 @@ def _ell_iso_table_factory(bound, q_grid, dtype):
     n = max(801, int(fixed.get("intDiv", 100)))
     rele = (("a", "aspect") if fixed["useAspect"] != 0.0 else ("a", "c"))
     tab_params = tuple(p for p in bound.active if p in rele)
-    res = {0: (), 1: (4096,), 2: (512, 64)}[len(tab_params)]
+    res = tables.cap_res({0: (), 1: (4096,),
+                          2: (512, 64)}[len(tab_params)])
     grids = [tables.log_grid(*tables.param_product_range(bound, p), nn)
              for p, nn in zip(tab_params, res)]
-    q32 = jnp.asarray(np.asarray(q_grid), dtype)
+    if smear is None:
+        q32 = jnp.asarray(np.asarray(q_grid), dtype)
+    else:
+        q32 = jnp.asarray(np.asarray(smear[0]), dtype)      # (Nq, n_off)
+        sw32 = jnp.asarray(np.asarray(smear[1]), dtype)
 
     def row_fn(vals):
         p = dict(fixed)
@@ -69,19 +75,24 @@ def _ell_iso_table_factory(bound, q_grid, dtype):
             p[name] = vals[i]
         for name in bound.active:
             p.setdefault(name, 1.0)
-        return _ell_iso_ff_uv(q32 * p["a"], q32 * _ell_iso_rc(p), n,
-                              dtype)
+        f = _ell_iso_ff_uv(q32 * p["a"], q32 * _ell_iso_rc(p), n, dtype)
+        return (f * f) @ sw32 if smear is not None else f
 
     key = ("EllipsoidsIsotropic", n, tab_params,
            tables.grid_fingerprint(q_grid),
+           tables.smear_fingerprint(smear),
            tuple(sorted(fixed.items())))
-    tab = tables.build_param_table(row_fn, grids, dtype, cache_key=key)
+    block = 8 if smear is not None else 256
+    tab = tables.build_param_table(row_fn, grids, dtype, block=block,
+                                   cache_key=key)
     lookup = tables.make_lookup(tab.axes, tab_params)
 
     def ff(q, values, p):
         # valid only on the baked fit grid (the engine always passes it)
         return lookup(values, p)
 
+    if smear is not None:
+        return ff, tab.values, "intensity"
     return ff, tab.values
 
 
@@ -91,6 +102,7 @@ def _ell_iso_volume(p):
 
 EllipsoidsIsotropic = SASModel(
     name="EllipsoidsIsotropic",
+    can_smear=True,
     doc="Isotropic spheroid with semi-axes a=b, c (SASfit Ellipsoid II)",
     params=(
         ParamSpec("a", NM.to_si(1.0), NM, NM.to_si((0.1, 1e10)),
@@ -135,6 +147,7 @@ def _sph_cs_ff(q, p, _ff=sphere_ff):
 SphericalCoreShell = SASModel(
     name="SphericalCoreShell",
     elementwise_q=True,
+    can_smear=True,
     doc="Core-shell sphere (SASfit Spherical Shell III, §3.1.4)",
     params=(
         ParamSpec("radius", NM.to_si(1.0), NM, (0.0, float("inf")),
@@ -159,10 +172,11 @@ SphericalCoreShell = SASModel(
 
 # ----------------------------------------------- EllipsoidalCoreShell
 
-def _ell_cs_table_factory(bound, q_grid, dtype):
+def _ell_cs_table_factory(bound, q_grid, dtype, smear=None):
     """Fit-grade parameter-grid row table over the active size parameters
     (a, b, t) — up to trilinear (2³ row gathers); SLDs are never fittable
-    and fold into the build."""
+    and fold into the build.  With *smear* = (locs, smear_w) the rows are
+    the smeared intensity ff²(locs) @ smear_w (see cylinders.py)."""
     from ..ops import tables
     fixed = dict(bound.fixed)
     # the μ-integrand is smooth (no endpoint singularity): n=201 is
@@ -172,23 +186,34 @@ def _ell_cs_table_factory(bound, q_grid, dtype):
     tab_params = tuple(p for p in bound.active if p in rele)
     # P=2 spends resolution evenly: shell-thickness phase error dominates
     # the core-shell oscillation, so t needs the same density as a
-    res = {0: (), 1: (4096,), 2: (384, 256),
-           3: (128, 64, 48)}[len(tab_params)]
+    res = tables.cap_res({0: (), 1: (4096,), 2: (384, 256),
+                          3: (128, 64, 48)}[len(tab_params)])
     grids = [tables.log_grid(*tables.param_product_range(bound, p), nn)
              for p, nn in zip(tab_params, res)]
-    q32 = jnp.asarray(np.asarray(q_grid), dtype)
+    if smear is None:
+        q32 = jnp.asarray(np.asarray(q_grid), dtype)
+    else:
+        locs = np.asarray(smear[0])                         # (Nq, n_off)
+        q32 = jnp.asarray(locs.ravel(), dtype)
+        sw32 = jnp.asarray(np.asarray(smear[1]), dtype)
 
     def row_fn(vals):
         p = dict(fixed)
         p["intDiv"] = n          # converged μ-rule for the one-time build
         for i, name in enumerate(tab_params):
             p[name] = vals[i]
-        return _ell_cs_ff(q32, p)
+        f = _ell_cs_ff(q32, p)
+        if smear is not None:
+            f = f.reshape(locs.shape)
+            return (f * f) @ sw32
+        return f
 
     key = ("EllipsoidalCoreShell", n, tab_params,
            tables.grid_fingerprint(q_grid),
+           tables.smear_fingerprint(smear),
            tuple(sorted(fixed.items())))
-    tab = tables.build_param_table(row_fn, grids, dtype, block=128,
+    block = 8 if smear is not None else 128
+    tab = tables.build_param_table(row_fn, grids, dtype, block=block,
                                    cache_key=key)
     lookup = tables.make_lookup(tab.axes, tab_params)
 
@@ -196,6 +221,8 @@ def _ell_cs_table_factory(bound, q_grid, dtype):
         # valid only on the baked fit grid (the engine always passes it)
         return lookup(values, p)
 
+    if smear is not None:
+        return ff, tab.values, "intensity"
     return ff, tab.values
 
 
@@ -219,6 +246,7 @@ def _ell_cs_ff(q, p, _ff=sphere_ff):
 
 EllipsoidalCoreShell = SASModel(
     name="EllipsoidalCoreShell",
+    can_smear=True,
     doc="Core-shell ellipsoid (SASfit §3.2.3)",
     params=(
         ParamSpec("a", NM.to_si(1.0), NM, (0.0, float("inf")),

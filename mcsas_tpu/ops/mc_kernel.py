@@ -62,7 +62,9 @@ def vmem_bytes(engine, n_reps=None) -> int:
     # tuple-tolerant like _pad_fit_grid: smearing/table grids are tuples
     # (currently short-circuited by supports(), but eligibility ordering
     # must not be able to crash engine construction)
-    main = engine.grid[0] if isinstance(engine.grid, tuple) else engine.grid
+    main = engine.grid
+    while isinstance(main, tuple):      # table/smeared grids nest tuples
+        main = main[0]
     nq = pad_lanes(int(main.shape[0]))
     n = int(cfg.num_contribs)
     k = int(cfg.candidates_per_step)

@@ -44,6 +44,26 @@ def grid_fingerprint(q_grid) -> str:
     ).hexdigest()
 
 
+def cap_res(res: tuple) -> tuple:
+    """Applies the MCSAS_TPU_TABLE_RES_CAP env override (tests/CI shrink
+    the one-time table build; production keeps the model defaults)."""
+    import os
+    cap = int(os.environ.get("MCSAS_TPU_TABLE_RES_CAP", "0") or 0)
+    if cap > 0:
+        return tuple(min(int(r), cap) for r in res)
+    return res
+
+
+def smear_fingerprint(smear) -> tuple:
+    """Cache-key fingerprint of a smearing contraction (locs grid +
+    weight vector); None stays None (unsmeared tables)."""
+    if smear is None:
+        return None
+    locs, sw = smear
+    return (grid_fingerprint(np.asarray(locs).ravel()),
+            grid_fingerprint(np.asarray(sw).ravel()))
+
+
 def log_grid(lo: float, hi: float, n: int) -> np.ndarray:
     """Log-spaced grid; degenerate ranges widen to a factor-2 bracket so
     the interpolation stays well-defined."""

@@ -158,9 +158,10 @@ def test_engine_with_table_descends(sphere_data):
         active=("radius",), active_ranges={"radius": (0.5 * NM, 300 * NM)})
     eng = McSASEngine(sphere_data, bound, cfg)
     assert eng.uses_table
-    # table bodies use the host chunk loop (a single long launch would
-    # trip the remote worker watchdog)
-    assert eng._drive is None
+    # table bodies ride the BOUNDED single-launch drive (trip-capped
+    # while_loop: amortizes the per-chunk RTT without a multi-minute
+    # launch that would trip the remote worker watchdog)
+    assert eng._drive is not None
     state = eng._init_batch(jax.random.split(jax.random.PRNGKey(0), 2))
     chi0 = np.asarray(state.conval)
     res = eng.run()
@@ -191,6 +192,76 @@ def test_table_and_exact_paths_statistically_match(sphere_data):
     lr_on = np.log(res["on"].contribs).mean()
     lr_off = np.log(res["off"].contribs).mean()
     assert abs(lr_on - lr_off) < 0.5
+
+
+def _smeared_cyl_data(n_steps=13):
+    """Slit-smeared synthetic cylinder golden: the converged-rule model
+    intensity pushed through the dataset's own trapezoid contraction."""
+    from mcsas_tpu.data import DataConfig, TrapezoidSmearing, from_raw
+    from mcsas_tpu.models.cylinders import _cyl_iso_ff_ab
+    q_nm = np.geomspace(0.01, 2.0, 80)
+    sm = TrapezoidSmearing(do_smear=True, n_steps=n_steps, umbra=0.05e9,
+                           penumbra=0.2e9)
+    dcfg = DataConfig(n_bin=0, smearing=sm)
+    ones = np.ones_like(q_nm)
+    d0 = from_raw(np.column_stack([q_nm, ones, 0.01 * ones]), config=dcfg)
+    assert d0.uses_smearing
+    r, asp = 10e-9, 10.0
+    ff = jax.jit(lambda q: _cyl_iso_ff_ab(
+        q * r, q * (2.0 * r * asp), 801, jnp.float64))(
+            jnp.asarray(np.asarray(d0.locs, np.float64)))
+    i = np.asarray((ff * ff) @ jnp.asarray(
+        np.asarray(d0.smear_w, np.float64)))
+    i = i / i.max()
+    return from_raw(np.column_stack([q_nm, i, 0.01 * i]),
+                    title="synthetic-cylinder-smeared", config=dcfg)
+
+
+def test_smeared_table_engine_fits(monkeypatch):
+    """Smeared param-table tier: rows are baked against the dataset's own
+    smearing contraction (lifting the round-2 `not smearing` gate), the
+    engine takes the bounded single-launch drive, and the fit descends to
+    the golden data's χ² floor."""
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "768")
+    d = _smeared_cyl_data()
+    bound = get_model("CylindersIsotropic").bind(
+        active=("radius",),
+        active_ranges={"radius": (0.5 * NM, 100 * NM)})
+    cfg = McSASConfig(num_contribs=40, num_reps=2, max_iterations=30000,
+                      chunk_steps=512, candidates_per_step=8, seed=11,
+                      max_retries=0, show_incomplete=True, table_ff="on")
+    eng = McSASEngine(d, bound, cfg)
+    assert eng.uses_table and not eng.uses_pallas
+    assert eng._drive is not None       # bounded single-launch drive
+
+    # fit-grade accuracy: the engine's table row vs the direct smeared
+    # converged quadrature, shape-compared over the radius range
+    locs = jnp.asarray(np.asarray(d.locs, np.float64))
+    sw = jnp.asarray(np.asarray(d.smear_w, np.float64))
+    errs = []
+    for r_nm in (2.0, 5.0, 9.7, 31.0):
+        pv = jnp.asarray([r_nm * NM])
+        row = np.asarray(eng._intensity_row(eng.grid, pv), np.float64)
+        p = dict(bound.fixed)
+        p["radius"] = r_nm * NM
+        ffv = bound.model.ff(locs, p)
+        direct = np.asarray((ffv * ffv) @ sw, np.float64)
+        # engine rows carry the w/i_ref normalization: compare shapes
+        # via the intensity-weighted relative deviation
+        scale = (row * direct).sum() / (direct * direct).sum()
+        num = np.abs(row - scale * direct) * direct
+        errs.append(float(num.sum() / (scale * (direct * direct).sum())))
+    assert np.median(errs) < 2e-2
+    assert max(errs) < 2e-1
+
+    res = eng.run()
+    assert np.all(np.isfinite(res.conval))
+    assert res.n_moves.min() > 0
+    # the capped 768-node table sets a χ²≈9.5 interpolation floor on this
+    # golden (measured); at production res the same fit reaches χ²≤1
+    # (res=3072: conval 0.85/0.99 — the bench.py cylinders-smeared row
+    # certifies the uncapped tier on hardware)
+    assert res.conval.max() < 20.0
 
 
 def test_engine_table_off_matches_legacy_path(sphere_data):
