@@ -45,20 +45,21 @@ def solve_np(x, y, u):
     return a, b, (u * r * r).sum() / len(y)
 
 
-def reference_style_mcfit(d, rng, comp2):
+def reference_style_mcfit(d, rng, comp2, n_contribs=N_CONTRIBS,
+                          crit=CRIT, max_iter=MAX_ITER):
     """The reference hot loop, straight numpy (no jax), normalized rows."""
     q, y = d.q, d.f
     sigma = d.fu.copy()
     sigma[sigma == 0] = 1.0
     u = 1.0 / sigma ** 2
     norm = sphere_row(q, math.sqrt(R_LO * R_HI), comp2).max()
-    rset = rng.uniform(R_LO, R_HI, N_CONTRIBS)
+    rset = rng.uniform(R_LO, R_HI, n_contribs)
     bank = np.stack([sphere_row(q, r, comp2) / norm for r in rset])
     ft = bank.sum(axis=0)
     _, _, conval = solve_np(ft, y, u)
     ri = 0
-    for it in range(MAX_ITER):
-        if conval <= CRIT:
+    for it in range(max_iter):
+        if conval <= crit:
             break
         rt = rng.uniform(R_LO, R_HI)
         row = sphere_row(q, rt, comp2) / norm
@@ -66,7 +67,7 @@ def reference_style_mcfit(d, rng, comp2):
         _, _, convalt = solve_np(ft_test, y, u)
         if convalt < conval:
             rset[ri], bank[ri], ft, conval = rt, row, ft_test, convalt
-        ri = (ri + 1) % N_CONTRIBS
+        ri = (ri + 1) % n_contribs
     return rset, conval
 
 
@@ -126,3 +127,64 @@ def test_distribution_parity(reference_run, variant):
     np.testing.assert_allclose(y_eng, y_ref, atol=0.2)
     # the dominant bin must agree
     assert abs(int(np.argmax(y_eng)) - int(np.argmax(y_ref))) <= 1
+
+
+# ------------------- sharpened headline certification (VERDICT r2 #5) ------
+#
+# The k128+local-moves accelerators produce the headline bench number, so
+# they get certified at honest statistical power: 8 reps x 200 contribs at
+# CRIT=1.5 against an equally-powered numpy reference ensemble, with a
+# tight distribution-distance bound (max bin diff <= 0.1 after
+# rep-averaging) instead of the reference's loose 0.2 regression style.
+
+N_REPS_STRONG = 8
+N_CONTRIBS_STRONG = 200
+CRIT_STRONG = 1.5
+
+
+@pytest.fixture(scope="module")
+def reference_run_strong(refdata):
+    d = data.load(refdata / "sasfit_sphere-10-1.dat")
+    comp2 = 2 * 0.6666666
+    rng = np.random.default_rng(123)
+    ref_sets, ref_conv = [], []
+    for _ in range(N_REPS_STRONG):
+        rset, conval = reference_style_mcfit(
+            d, rng, comp2, n_contribs=N_CONTRIBS_STRONG, crit=CRIT_STRONG)
+        ref_sets.append(rset)
+        ref_conv.append(conval)
+    assert max(ref_conv) <= CRIT_STRONG, "numpy reference failed to converge"
+    bound = get_model("Sphere").bind(active_ranges={"radius": (R_LO, R_HI)})
+    cfg = McSASConfig(num_contribs=N_CONTRIBS_STRONG,
+                      num_reps=N_REPS_STRONG, max_iterations=MAX_ITER,
+                      convergence_criterion=CRIT_STRONG)
+    spec = HistogramSpec("radius", R_LO, R_HI, bin_count=BINS,
+                         auto_follow=False).resolved(bound)
+    ref_contribs = np.stack(ref_sets)[:, :, None]     # (R, N, 1)
+    _, hists_ref = histogram_all(ref_contribs, d, bound, cfg, [spec])
+    y_ref = hists_ref[0].bins.mean
+    return d, bound, spec, y_ref / y_ref.sum()
+
+
+def test_headline_accelerators_certified_strong(reference_run_strong):
+    """k128-local (the headline-bench configuration) at 8 reps x 200
+    contribs, CRIT=1.5: rep-averaged volume-weighted histograms within
+    max-bin-diff 0.1 of the reference-semantics ensemble."""
+    d, bound, spec, y_ref = reference_run_strong
+    # max_iterations counts PROPOSALS: K=128 consumes 128 per cursor step,
+    # so the tighter criterion and 4x contribution count get a matching
+    # proposal budget (the headline bench runs 8M on hardware)
+    cfg = McSASConfig(num_contribs=N_CONTRIBS_STRONG,
+                      num_reps=N_REPS_STRONG, max_iterations=4_000_000,
+                      chunk_steps=2000, seed=77, max_retries=1,
+                      convergence_criterion=CRIT_STRONG,
+                      candidates_per_step=128, local_moves=0.5)
+    eng = McSASEngine(d, bound, cfg)
+    res = eng.run()
+    assert res.converged.all()
+
+    _, hists_eng = histogram_all(res.contribs, d, bound, cfg, [spec])
+    y_eng = hists_eng[0].bins.mean
+    y_eng = y_eng / y_eng.sum()
+    assert np.abs(y_eng - y_ref).max() <= 0.1
+    assert int(np.argmax(y_eng)) == int(np.argmax(y_ref))
