@@ -95,6 +95,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "active range")
     p.add_argument("--series-stats", action="store_true",
                    help="accumulate series statistics across files")
+    p.add_argument("--model-file", action="append", default=[],
+                   metavar="PY",
+                   help="load user model(s) from a .py file before "
+                        "resolving -m (repeatable; reference drop-in "
+                        "models, gui/mainwindow.py:95-97)")
+    p.add_argument("--model-dir", action="append", default=[],
+                   metavar="DIR",
+                   help="scan a directory tree for user model files "
+                        "(repeatable; reference FindModels startup "
+                        "discovery, utils/findmodels.py:73-186)")
     p.add_argument("--list-models", action="store_true",
                    help="list available models and exit")
     p.add_argument("-l", "--nolog", action="store_true",
@@ -112,7 +122,12 @@ def main(argv=None) -> int:
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
         datefmt="%Y-%m-%d %H:%M:%S")
 
-    from .models import REGISTRY, get_model
+    from .models import (REGISTRY, get_model, load_model_dir,
+                         load_model_file)
+    for path in args.model_file:
+        load_model_file(path)
+    for path in args.model_dir:
+        load_model_dir(path)
     if args.list_models:
         for name, m in REGISTRY.items():
             active = ",".join(m.default_active)

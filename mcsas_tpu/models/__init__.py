@@ -69,9 +69,45 @@ def load_model_file(path: str) -> list:
     return found
 
 
+# the reference's startup ordering: default models first, in this order
+# (reference FindModels._priorityModels: utils/findmodels.py:80-89)
+_PRIORITY = ("Sphere", "LMADenseSphere", "EllipsoidsIsotropic",
+             "CylindersIsotropic", "SphericalCoreShell",
+             "EllipsoidalCoreShell", "GaussianChain", "Kholodenko")
+
+
+def load_model_dir(path: str, recursive: bool = True) -> list:
+    """Scans a directory tree for .py files defining SASModels, registers
+    each, and returns them priority-ordered — the reference's FindModels
+    startup discovery (utils/findmodels.py:73-186: recursive walk, skip
+    ``__init__``/private files, import candidates, reorder with the
+    default-model priority list first).  Files that fail to import are
+    skipped with a warning, like the reference's "Could not load" path
+    (findmodels.py:171-175)."""
+    import logging
+    log = logging.getLogger(__name__)
+    found = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+        for fn in sorted(files):
+            if not fn.endswith(".py") or fn.startswith(("_", ".")):
+                continue
+            fpath = os.path.join(root, fn)
+            try:
+                found.extend(load_model_file(fpath))
+            except Exception as exc:   # mirror reference warn-and-skip
+                log.warning("could not load model file %r: %s",
+                            fpath, exc)
+        if not recursive:
+            break
+    prio = {n: i for i, n in enumerate(_PRIORITY)}
+    found.sort(key=lambda m: (prio.get(m.name, len(prio)), m.name))
+    return found
+
+
 __all__ = [
     "SASModel", "BoundModel", "ParamSpec", "MODELS", "REGISTRY",
-    "get_model", "register_model", "load_model_file",
+    "get_model", "register_model", "load_model_file", "load_model_dir",
     "Sphere", "LMADenseSphere", "GaussianChain", "Kholodenko",
     "CylindersIsotropic", "CylindersIsotropicAspect",
     "CylindersRadiallyIsotropic", "CylindersRadiallyIsotropicTilted",

@@ -126,6 +126,15 @@ class SASModel:
         if active is None:
             active = self.default_active
         active = tuple(active)
+        if not active:
+            # fail here with a clear message instead of deep inside the
+            # engine's RNG (a plugin model without default_active would
+            # otherwise crash with "Need at least one array to stack")
+            fittable = [s.name for s in self.params if s.is_fit]
+            raise ValueError(
+                f"{self.name}: no active (fitted) parameters; pass "
+                f"active=... to bind() or declare default_active on the "
+                f"model (fittable: {fittable})")
         for n in active:
             if not self.spec(n).is_fit:
                 raise ValueError(f"parameter {n!r} of {self.name} is not "

@@ -276,6 +276,26 @@ def _phi_centroids(divisions: int) -> np.ndarray:
     return np.array([nd.inv_cdf(0.5 + c / 2.0) for c in ctr])
 
 
+def _cyl_tilted_ff2d(q, psi, p):
+    """Anisotropic tilted cylinder at detector azimuth ψ [rad]: the
+    un-ψ-averaged integrand of _cyl_tilted_ff with the Gaussian
+    out-of-plane tilt average retained — closes the 2D capability for
+    the one model the reference left without it (upstream UNFINISHED:
+    cylindersradiallyisotropictilted.py:61-102).  The upstream quirks
+    are preserved deliberately: tilt centroids are standard z-scores
+    interpreted as DEGREES, and the degree-valued psiAngle rotates the
+    in-plane azimuth."""
+    a = psi - p["psiAngle"] * _D2R
+    phi_ctr = _phi_centroids(int(p["phiDistDivisions"]))
+    qr_sina = q * p["radius"] * jnp.sin(a)
+    f = 0.0
+    for phi in phi_ctr:
+        ql_cosa = (q * p["radius"] * p["aspect"]
+                   * math.cos(phi * _D2R) * jnp.cos(a))
+        f = f + 2.0 * j1_over_x(qr_sina) * sinc_sin(ql_cosa)
+    return f / len(phi_ctr)
+
+
 def _cyl_tilted_ff(q, p):
     """Radially isotropic cylinders with Gaussian out-of-plane tilt.
     NOTE: marked *UNFINISHED* upstream — the tilt centroids are standard
@@ -318,6 +338,7 @@ CylindersRadiallyIsotropicTilted = SASModel(
                   display_name="out of plane integration divisions"),
     ),
     ff=_cyl_tilted_ff,
+    ff2d=_cyl_tilted_ff2d,
     volume=lambda p: math.pi * p["radius"] ** 2
     * (2.0 * p["radius"] * p["aspect"]),
     default_active=("radius",),

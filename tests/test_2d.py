@@ -59,6 +59,40 @@ def test_2d_ff_consistency():
     np.testing.assert_allclose(avg, ff1d, rtol=2e-2)
 
 
+def test_2d_tilted_ff_consistency():
+    """The tilted cylinder's 1D ff is (up to the tiny upstream tilt
+    spread) the ψ-RMS of its new 2D kernel on the same degree-grid: the
+    1D averages sqrt(mean_ψ f²) per tilt, the reconstruction RMSes the
+    tilt-averaged f — equal to ~1e-3 because the upstream z-score-as-
+    degrees tilt centroids vary cos φ by <1e-3."""
+    from mcsas_tpu.models.cylinders import _cyl_tilted_ff2d
+    q = jnp.asarray(np.geomspace(1e7, 1e9, 32))
+    p = {"radius": 4e-9, "aspect": 7.0, "psiAngle": 0.1,
+         "psiAngleDivisions": 303.0, "phiDistWidth": 10.0,
+         "phiDistDivisions": 9.0}
+    ff1d = np.asarray(get_model("CylindersRadiallyIsotropicTilted").ff(
+        q, p))
+    psi_deg = np.linspace(0.1, 180.1, 303)
+    # the 1D grid ignores psiAngle; feed azimuths that cancel the 2D
+    # kernel's psiAngle rotation
+    psi = jnp.asarray(np.radians(psi_deg + p["psiAngle"]))
+    f2 = np.asarray(_cyl_tilted_ff2d(q[:, None], psi[None, :], p))
+    rms = np.sqrt(np.mean(f2 ** 2, axis=1))
+    np.testing.assert_allclose(rms, ff1d, rtol=1e-2)
+
+
+def test_2d_tilted_fit_runs():
+    """The previously 1D-only tilted model now fits 2D images."""
+    d = synth_2d(n_q=12, n_psi=8)
+    bound = get_model("CylindersRadiallyIsotropicTilted").bind(
+        active=("radius",), active_ranges={"radius": (1.0, 20.0)})
+    cfg = McSASConfig(num_contribs=8, num_reps=1, max_iterations=600,
+                      chunk_steps=200, candidates_per_step=2, seed=2,
+                      max_retries=0, show_incomplete=True)
+    res = mt.fit(d, model=bound, cfg=cfg)
+    assert np.all(np.isfinite(res.engine.conval))
+
+
 def test_2d_anisotropic_fit_descends():
     """Fitting (radius, psiAngle) against the anisotropic image: χ²
     descends and the fitted orientation clusters near the truth."""

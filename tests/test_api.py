@@ -111,6 +111,66 @@ def test_cli_list_models(capsys):
     assert "Sphere" in out and "Kholodenko" in out
 
 
+_USER_MODEL_SRC = """
+import math
+from mcsas_tpu.models import ParamSpec, SASModel
+from mcsas_tpu.utils.units import NM
+
+{name} = SASModel(
+    name="{name}",
+    elementwise_q=True,
+    doc="test plugin model",
+    params=(ParamSpec("radius", NM.to_si(1.0), NM, (0.0, float("inf")),
+                      active_range=NM.to_si((0.1, 100.0)),
+                      generator="logdec1", is_fit=True),),
+    ff=lambda q, p: (q * p["radius"]) ** -2,
+    volume=lambda p: 4.0 / 3.0 * math.pi * p["radius"] ** 3,
+)
+"""
+
+
+def test_load_model_dir(tmp_path, caplog):
+    """Directory model discovery (reference FindModels semantics,
+    utils/findmodels.py:73-186): recursive walk, skip private files,
+    warn-and-skip broken files, priority-order the result."""
+    import logging
+
+    from mcsas_tpu.models import REGISTRY, load_model_dir
+    (tmp_path / "zz_plugin.py").write_text(
+        _USER_MODEL_SRC.format(name="ZzPlugin"))
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "aa_plugin.py").write_text(
+        _USER_MODEL_SRC.format(name="AaPlugin"))
+    # a file that re-exports a priority model plus a broken file
+    (tmp_path / "prio.py").write_text(
+        "from mcsas_tpu.models import Sphere\n")
+    (tmp_path / "broken.py").write_text("raise RuntimeError('nope')\n")
+    (tmp_path / "_private.py").write_text(
+        _USER_MODEL_SRC.format(name="NeverLoaded"))
+    with caplog.at_level(logging.WARNING):
+        found = load_model_dir(tmp_path)
+    names = [m.name for m in found]
+    assert names == ["Sphere", "AaPlugin", "ZzPlugin"]  # priority first
+    assert "NeverLoaded" not in REGISTRY
+    assert "AaPlugin" in REGISTRY and "ZzPlugin" in REGISTRY
+    assert any("broken.py" in r.message for r in caplog.records)
+    for n in ("AaPlugin", "ZzPlugin"):
+        REGISTRY.pop(n, None)
+
+
+def test_cli_model_file_and_dir(tmp_path, capsys):
+    from mcsas_tpu.cli import main
+    from mcsas_tpu.models import REGISTRY
+    (tmp_path / "cli_plugin.py").write_text(
+        _USER_MODEL_SRC.format(name="CliPlugin"))
+    assert main(["--model-dir", str(tmp_path),
+                 "--list-models", "dummy"]) == 0
+    out = capsys.readouterr().out
+    assert "CliPlugin" in out
+    REGISTRY.pop("CliPlugin", None)
+
+
 def test_cli_full_run(refdata, tmp_path, capsys):
     from mcsas_tpu.cli import main
     rc = main([str(refdata / "sasfit_sphere-10-1.dat"),
