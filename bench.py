@@ -22,11 +22,17 @@ import time
 import numpy as np
 
 REFERENCE_SECONDS = 36.0       # doc/source/quickstart.rst:106
+_REPO = os.path.dirname(os.path.abspath(__file__))
 DATASETS = [
+    os.path.join(_REPO, "testdata", "sasfit_sphere-10-1.dat"),
     "/root/reference/testdata/sasfit_sphere-10-1.dat",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                 "testdata", "sasfit_sphere-10-1.dat"),
 ]
+
+
+def _data_dir(bundled, fallback):
+    """Bundled golden data first (testdata/ ships with the repo), the
+    reference tree as fallback."""
+    return bundled if os.path.isdir(bundled) else fallback
 
 
 def find_dataset():
@@ -116,8 +122,10 @@ def suite():
     from mcsas_tpu.config import McSASConfig
     from mcsas_tpu.models import get_model
 
-    ref = "/root/reference/testdata"
-    refm = "/root/reference/src/mcsas/models/testData"
+    ref = _data_dir(os.path.join(_REPO, "testdata"),
+                    "/root/reference/testdata")
+    refm = _data_dir(os.path.join(_REPO, "testdata", "models"),
+                     "/root/reference/src/mcsas/models/testData")
     nm = 1e-9
     # (name, data, model, active, ranges, chi2 target, K, budget):
     # every BASELINE.json family has a converging row; quadrature models

@@ -15,13 +15,11 @@ doc/source/quickstart.rst:164-177).
 from __future__ import annotations
 
 import configparser
-import dataclasses
 import datetime as _dt
 import logging
 import os
 import pickle
-import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional, Sequence, Union
 
 import numpy as np
@@ -32,8 +30,8 @@ from .core.engine import EngineResult, McSASEngine
 from .data import SASData
 from .models import get_model
 from .models.base import BoundModel, SASModel
-from .post.histogram import (FractionsResult, HistogramResult,
-                             HistogramSpec, default_histograms,
+from .post.histogram import (FractionsResult,
+                             HistogramSpec,
                              histogram_all)
 
 log = logging.getLogger(__name__)

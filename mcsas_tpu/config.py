@@ -33,7 +33,7 @@ class McSASConfig:
     # --- rebuild-specific execution parameters --------------------------
     seed: int = 0                    # base PRNG seed (keyed, reproducible)
     dtype: str = "float32"           # device compute dtype
-    chunk_steps: int = 2048          # scan steps between host convergence checks
+    chunk_steps: int = 2048     # scan steps per host convergence check
     device_mesh: Optional[tuple] = None   # e.g. ("rep", 4) axis spec
     # Speculative proposals: per MC step, evaluate this many candidate
     # replacements for the current contribution in parallel and accept the

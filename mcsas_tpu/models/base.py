@@ -115,7 +115,8 @@ class SASModel:
     def absvolume_fn(self):
         return self.absvolume if self.absvolume is not None else self.volume
 
-    def bind(self, active=None, active_ranges=None, fixed=None) -> "BoundModel":
+    def bind(self, active=None, active_ranges=None,
+             fixed=None) -> "BoundModel":
         """Creates a BoundModel with the given active parameters.
 
         - *active*: names of fitted parameters (default: model's

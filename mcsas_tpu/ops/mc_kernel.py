@@ -271,7 +271,8 @@ def build_chunk_fn(engine, interpret=None):
             # ---- accept/reject (vectorized across reps)
             conval = fstate_ref[:, 2:3]                          # (R, 1)
             n_it = istate_ref[:, 0:1]
-            active = (conval > jnp.float32(crit)) & (n_it < jnp.int32(max_iter))
+            active = ((conval > jnp.float32(crit))
+                      & (n_it < jnp.int32(max_iter)))
             accept = active & (min_chi < conval)
             acc3 = accept[:, :, None]                            # (R, 1, 1)
 
@@ -289,7 +290,8 @@ def build_chunk_fn(engine, interpret=None):
             fstate_ref[:, 1:2] = jnp.where(accept, best_b,
                                            fstate_ref[:, 1:2])
             fstate_ref[:, 2:3] = jnp.where(accept, min_chi, conval)
-            istate_ref[:, 0:1] = n_it + jnp.int32(k_cand) * active.astype(jnp.int32)
+            istate_ref[:, 0:1] = (n_it + jnp.int32(k_cand)
+                                  * active.astype(jnp.int32))
             istate_ref[:, 1:2] = (istate_ref[:, 1:2]
                                   + accept.astype(jnp.int32))
             next_ri = ri + jnp.int32(1)

@@ -28,10 +28,11 @@ def sphere_ff(x):
     """
     x = jnp.asarray(x)
     small = jnp.abs(x) < _small_threshold(x)
-    xs = jnp.where(small, jnp.ones_like(x), x)  # avoid 0-division in unused lane
+    xs = jnp.where(small, jnp.ones_like(x), x)  # no 0-div in dead lane
     closed = 3.0 * (jnp.sin(xs) - xs * jnp.cos(xs)) / xs ** 3
     x2 = x * x
-    series = 1.0 + x2 * (-1.0 / 10.0 + x2 * (1.0 / 280.0 + x2 * (-1.0 / 15120.0)))
+    series = 1.0 + x2 * (-1.0 / 10.0 + x2 * (
+        1.0 / 280.0 + x2 * (-1.0 / 15120.0)))
     return jnp.where(small, series, closed)
 
 
@@ -124,9 +125,12 @@ def py_G_over_A(A, alpha, beta, gamma):
           + 4.0 * ((3.0 * As ** 2 - 6.0) * c
                    + (As ** 3 - 6.0 * As) * s + 6.0)) / As ** 6
     A2 = A * A
-    g1s = 1.0 / 3.0 + A2 * (-1.0 / 30.0 + A2 * (1.0 / 840.0 + A2 * (-1.0 / 45360.0)))
-    g2s = 1.0 / 4.0 + A2 * (-1.0 / 36.0 + A2 * (1.0 / 960.0 + A2 * (-1.0 / 50400.0)))
-    g3s = 1.0 / 6.0 + A2 * (-1.0 / 48.0 + A2 * (1.0 / 1200.0 + A2 * (-1.0 / 60480.0)))
+    g1s = 1.0 / 3.0 + A2 * (-1.0 / 30.0 + A2 * (
+        1.0 / 840.0 + A2 * (-1.0 / 45360.0)))
+    g2s = 1.0 / 4.0 + A2 * (-1.0 / 36.0 + A2 * (
+        1.0 / 960.0 + A2 * (-1.0 / 50400.0)))
+    g3s = 1.0 / 6.0 + A2 * (-1.0 / 48.0 + A2 * (
+        1.0 / 1200.0 + A2 * (-1.0 / 60480.0)))
     g1 = jnp.where(small, g1s, g1)
     g2 = jnp.where(small, g2s, g2)
     g3 = jnp.where(small, g3s, g3)

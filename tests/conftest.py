@@ -34,20 +34,27 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import pytest  # noqa: E402
 
-REFDATA = pathlib.Path("/root/reference/testdata")
-REFMODELDATA = pathlib.Path(
-    "/root/reference/src/mcsas/models/testData")
+# golden data ships with the repo (testdata/ — measurement *data*, not
+# code, copied from the reference's published test datasets) so the
+# suite runs in a bare checkout; the reference tree is the fallback
+_BUNDLED = _REPO / "testdata"
+REFDATA = (_BUNDLED if _BUNDLED.is_dir()
+           else pathlib.Path("/root/reference/testdata"))
+_BUNDLED_MODELS = _BUNDLED / "models"
+REFMODELDATA = (_BUNDLED_MODELS if _BUNDLED_MODELS.is_dir()
+                else pathlib.Path(
+                    "/root/reference/src/mcsas/models/testData"))
 
 
 @pytest.fixture(scope="session")
 def refdata():
     if not REFDATA.is_dir():
-        pytest.skip("reference testdata not available")
+        pytest.skip("golden testdata not available")
     return REFDATA
 
 
 @pytest.fixture(scope="session")
 def refmodeldata():
     if not REFMODELDATA.is_dir():
-        pytest.skip("reference model testData not available")
+        pytest.skip("golden model testData not available")
     return REFMODELDATA

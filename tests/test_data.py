@@ -7,7 +7,7 @@ import math
 import numpy as np
 import pytest
 
-from mcsas_tpu.data import (DataConfig, GaussianSmearing, SASData,
+from mcsas_tpu.data import (DataConfig, GaussianSmearing,
                             TrapezoidSmearing, from_raw, load)
 
 

@@ -9,7 +9,7 @@ import pytest
 from mcsas_tpu import data
 from mcsas_tpu.config import McSASConfig
 from mcsas_tpu.core.engine import McSASEngine
-from mcsas_tpu.core.fitcore import make_constants, solve_scale_bg
+from mcsas_tpu.core.fitcore import solve_scale_bg
 from mcsas_tpu.core.rng import draw_params, draw_unit
 from mcsas_tpu.models import get_model
 

@@ -1,8 +1,6 @@
 # -*- coding: utf-8 -*-
 """Opt-in local-move proposals: candidates stay in range, default-off keeps
 reference semantics, and narrow-basin convergence accelerates."""
-import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -61,7 +61,7 @@ def test_gaussian_chain_golden(refdata, fn, vals):
     p = dict(rg=rg, bp=bp, etas=k_in, k=etas_in / rg ** 2)
     i = ff64(GaussianChain, q, p) ** 2      # zero volume exponent
     rel = np.abs((i_ref - i) / i_ref)
-    assert rel.mean() < 1e-5          # reference tolerance: gaussianchain.py:84
+    assert rel.mean() < 1e-5     # reference tol: gaussianchain.py:84
 
 
 def test_kholodenko_golden(refdata):

@@ -6,7 +6,6 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mcsas_tpu.utils.profiling import (Stopwatch, annotate, debug_guards,
                                        trace)
