@@ -23,6 +23,11 @@ import numpy as np
 
 REFERENCE_SECONDS = 36.0       # doc/source/quickstart.rst:106
 _REPO = os.path.dirname(os.path.abspath(__file__))
+# persistent param-table cache: baked tables are pure functions of their
+# cache key; reusing them across processes removes the dominant
+# cold-start cost of the table-tier suite rows (10-60 s of on-chip bake)
+os.environ.setdefault("MCSAS_TPU_TABLE_CACHE_DIR",
+                      os.path.join(_REPO, ".table_cache"))
 DATASETS = [
     os.path.join(_REPO, "testdata", "sasfit_sphere-10-1.dat"),
     "/root/reference/testdata/sasfit_sphere-10-1.dat",

@@ -77,6 +77,59 @@ def log_grid(lo: float, hi: float, n: int) -> np.ndarray:
 _TABLE_CACHE = {}
 
 
+def _disk_cache_dir():
+    """Opt-in persistent table cache (MCSAS_TPU_TABLE_CACHE_DIR): baked
+    tables are pure functions of their cache key, so they can be reused
+    across processes — cold-start bakes cost seconds-to-minutes on the
+    remote-compile TPU link."""
+    import os
+    d = os.environ.get("MCSAS_TPU_TABLE_CACHE_DIR", "")
+    return d or None
+
+
+def _disk_cache_path(key):
+    import hashlib
+    import os
+    d = _disk_cache_dir()
+    if d is None:
+        return None
+    digest = hashlib.sha1(repr(key).encode()).hexdigest()
+    return os.path.join(d, f"table-{digest}.npz")
+
+
+def _disk_cache_load(path):
+    import os
+    if path is None or not os.path.exists(path):
+        return None
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            values = z["values"]
+            axes = tuple(tuple(ax) for ax in z["axes"])
+        axes = tuple((float(l0), float(dl), int(n)) for l0, dl, n in axes)
+        return ParamTable(values=jnp.asarray(values), axes=axes)
+    except Exception:                       # corrupt entry: rebuild
+        return None
+
+
+def _disk_cache_store(path, table):
+    import os
+    import tempfile
+    if path is None:
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # np.savez appends ".npz" unless the name already ends with it,
+        # so the temp name must keep the suffix for the atomic publish
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path),
+                                   suffix=".tmp.npz")
+        os.close(fd)
+        np.savez(tmp, values=np.asarray(table.values),
+                 axes=np.asarray(table.axes, np.float64))
+        os.replace(tmp, path)               # atomic publish
+    except Exception:                       # cache is best-effort only
+        pass
+
+
 class ParamTable(NamedTuple):
     """Rows of a function f(params, q_grid) over a log-spaced parameter
     grid, with the fit-grid q axis exact (no q interpolation).
@@ -102,11 +155,17 @@ def build_param_table(row_fn, grids, dtype=jnp.float32, block: int = 256,
     *cache_key* memoizes the built table within the process.
     """
     grids = [np.asarray(g, np.float64) for g in grids]
+    key = disk_path = None
     if cache_key is not None:
         key = (cache_key, tuple((len(g), float(g[0]), float(g[-1]))
                                 for g in grids), jnp.dtype(dtype).name)
         hit = _TABLE_CACHE.get(key)
         if hit is not None:
+            return hit
+        disk_path = _disk_cache_path(key)
+        hit = _disk_cache_load(disk_path)
+        if hit is not None:
+            _TABLE_CACHE[key] = hit
             return hit
     if grids:
         mesh = np.meshgrid(*grids, indexing="ij")
@@ -127,8 +186,9 @@ def build_param_table(row_fn, grids, dtype=jnp.float32, block: int = 256,
         dl = float((lg[-1] - lg[0]) / max(len(g) - 1, 1))
         axes.append((float(lg[0]), dl if dl > 0 else 1.0, len(g)))
     table = ParamTable(values=values, axes=tuple(axes))
-    if cache_key is not None:
+    if key is not None:
         _TABLE_CACHE[key] = table
+        _disk_cache_store(disk_path, table)
     return table
 
 

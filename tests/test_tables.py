@@ -134,6 +134,39 @@ def test_kholodenko_table_accuracy():
     assert np.percentile(errs, 99) < 2e-1
 
 
+def test_table_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """Persistent table cache (MCSAS_TPU_TABLE_CACHE_DIR): a rebuilt
+    process loads the baked table from disk instead of re-evaluating;
+    corrupt entries fall back to a rebuild."""
+    monkeypatch.setenv("MCSAS_TPU_TABLE_CACHE_DIR", str(tmp_path))
+    calls = []
+
+    def row_fn(v):
+        calls.append(1)
+        return jnp.full((3,), jnp.log(v[0]))
+
+    grid = tables.log_grid(1.0, 10.0, 8)
+    key = ("disk-cache-test",)
+    t1 = tables.build_param_table(row_fn, [grid], cache_key=key)
+    n_built = len(calls)
+    assert n_built > 0
+    files = list(tmp_path.glob("table-*.npz"))
+    assert len(files) == 1
+    tables._TABLE_CACHE.clear()           # simulate a fresh process
+    t2 = tables.build_param_table(row_fn, [grid], cache_key=key)
+    assert len(calls) == n_built          # loaded from disk, not rebuilt
+    np.testing.assert_array_equal(np.asarray(t1.values),
+                                  np.asarray(t2.values))
+    assert t1.axes == t2.axes
+    # corrupt entry: rebuild silently
+    files[0].write_bytes(b"not an npz")
+    tables._TABLE_CACHE.clear()
+    t3 = tables.build_param_table(row_fn, [grid], cache_key=key)
+    assert len(calls) > n_built
+    np.testing.assert_array_equal(np.asarray(t1.values),
+                                  np.asarray(t3.values))
+
+
 def test_table_auto_gating():
     tiny = McSASConfig(num_reps=2, max_iterations=1000)
     big = McSASConfig(num_reps=10, max_iterations=100000)
