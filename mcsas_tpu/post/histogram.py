@@ -167,6 +167,82 @@ _POST_JIT_CACHE: Dict[tuple, Callable] = {}
 _POST_JIT_CAP = 16
 
 
+def _accel_post(bound: BoundModel, data: SASData, cfg: McSASConfig,
+                smearing: bool) -> bool:
+    """Accelerator-assisted post tier decision.  'auto' selects it for
+    exactly the pathological case: a smeared quadrature model, whose
+    float64 bank costs Nq·n_off·quad_nodes host-core evaluations per
+    contribution (~770M f64 nodes for the cylinders-smeared benchmark —
+    tens of seconds on one core).  The SAME exact rule then runs on the
+    accelerator in normalized float32 and every reduction/solve stays
+    float64 on the host (<1e-6 relative change in reported values)."""
+    if cfg.post_compute == "cpu":
+        return False
+    if cfg.post_compute == "accel":
+        return True
+    if not (smearing and not bound.model.elementwise_q):
+        return False
+    # 'auto' additionally requires an actual accelerator: on a CPU-only
+    # host the f32 tier is not faster than the straight f64 pass
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except RuntimeError:
+        return False
+
+
+def _accel_bank(bound: BoundModel, data: SASData, cfg: McSASConfig,
+                smearing: bool):
+    """Returns bank_fn(contribs (R,N,P)) -> (R, N, Nq) float64 SI
+    intensity bank, evaluated with the EXACT model rule on the default
+    (accelerator) device in normalized float32 and rescaled to SI in
+    float64 on the host.  Normalization mirrors the engine
+    (core/engine.py::make_intensity_kernels): rows stay O(1) on device so
+    SI magnitudes can neither underflow nor overflow float32."""
+    comp_exp = cfg.compensation_exponent
+    v_ref = bound.reference_volume()
+    grid64 = np.asarray(data.locs if smearing else data.q, np.float64)
+    # float64 magnitude probe at the geometric range midpoint
+    mids = np.asarray([np.sqrt(max(lo, 1e-300) * hi) if hi > 0 else lo
+                       for lo, hi in bound.ranges], np.float64)
+    with jax.default_device(_cpu_device()):
+        ffp = np.asarray(jax.jit(bound.ff)(jnp.asarray(grid64),
+                                           jnp.asarray(mids)))
+    i_ref = float(np.nanmax(np.abs(ffp * ffp)))
+    if not np.isfinite(i_ref) or i_ref <= 0.0:
+        i_ref = 1.0
+    scale_back = i_ref * v_ref ** (2.0 * comp_exp)     # f64 host scalar
+    inv_fref = np.float32(1.0 / math.sqrt(i_ref))
+
+    grid32 = jnp.asarray(grid64, jnp.float32)
+    sw32 = (jnp.asarray(np.asarray(data.smear_w), jnp.float32)
+            if smearing else None)
+
+    def row_norm(pvec32):
+        ffn = bound.ff(grid32, pvec32) * inv_fref
+        wn = (bound.volume(pvec32) / np.float32(v_ref)) ** (
+            2.0 * comp_exp)
+        if smearing:
+            return (ffn * ffn) @ sw32 * wn
+        return ffn * ffn * wn
+
+    block = 512
+    jitted = jax.jit(jax.vmap(row_norm))
+
+    def bank_fn(contribs):
+        r, n, p = contribs.shape
+        flat = np.asarray(contribs, np.float32).reshape(r * n, p)
+        pad = (-len(flat)) % block
+        if pad:
+            flat = np.concatenate([flat, np.repeat(flat[-1:], pad, 0)])
+        parts = [np.asarray(jitted(jnp.asarray(flat[i:i + block])))
+                 for i in range(0, len(flat), block)]
+        bank = np.concatenate(parts, axis=0)[:r * n]
+        nq = bank.shape[-1]
+        return bank.astype(np.float64).reshape(r, n, nq) * scale_back
+
+    return bank_fn
+
+
 def _post_pass_f64(bound: BoundModel, data: SASData, cfg: McSASConfig,
                    contribs: np.ndarray):
     """The whole per-repetition float64 analysis in ONE jitted call on the
@@ -177,16 +253,21 @@ def _post_pass_f64(bound: BoundModel, data: SASData, cfg: McSASConfig,
     reductions), and the per-rep eager solve loop of the round-2 code —
     ~30 dispatched host ops per repetition — collapses into one vmapped
     executable.  Reference equivalent: the per-contribution Python loops
-    of mcsas.py:549-594."""
+    of mcsas.py:549-594.
+
+    For smeared quadrature models (or post_compute='accel') the bank is
+    evaluated by the accelerator tier (see _accel_bank) and only the
+    float64 reductions run here."""
     comp_exp = cfg.compensation_exponent
     two_d = data.psi is not None and bound.model.ff2d is not None
     smearing = (data.uses_smearing and bound.model.can_smear
                 and not two_d)
     grid = data.locs if smearing else data.q
     n_params = contribs.shape[2]
+    accel = _accel_post(bound, data, cfg, smearing) and not two_d
 
     cache_key = (data.content_key(), bound, comp_exp, cfg.find_background,
-                 cfg.positive_background, contribs.shape)
+                 cfg.positive_background, contribs.shape, accel)
     cached = _POST_JIT_CACHE.get(cache_key)
     if cached is not None:
         return cached(contribs)
@@ -205,8 +286,15 @@ def _post_pass_f64(bound: BoundModel, data: SASData, cfg: McSASConfig,
             it = ffv * ffv * w
         return it, w, bound.absvolume(pvec), bound.surf(pvec)
 
-    def rep_fn(rset, consts, sigma_raw):
-        bank, wset, vset, sset = jax.vmap(row)(rset)       # (N, Nq), (N,)
+    def props(pvec):
+        w = bound.volume(pvec) ** (2.0 * comp_exp)
+        return w, bound.absvolume(pvec), bound.surf(pvec)
+
+    def rep_fn(rset, consts, sigma_raw, bank=None):
+        if bank is None:
+            bank, wset, vset, sset = jax.vmap(row)(rset)   # (N, Nq), (N,)
+        else:
+            wset, vset, sset = jax.vmap(props)(rset)
         ft = jnp.sum(bank, axis=0)
         # normalize before solving — keeps the scale-invariant degeneracy
         # guards of solve_scale_bg honest at SI magnitudes (~1e-30); the
@@ -234,13 +322,24 @@ def _post_pass_f64(bound: BoundModel, data: SASData, cfg: McSASConfig,
     with jax.default_device(_cpu_device()):
         consts = make_constants(data.f, data.fu, jnp.float64)
         sigma_raw = jnp.asarray(np.asarray(data.fu, np.float64))
-    jitted = jax.jit(jax.vmap(rep_fn, in_axes=(0, None, None)))
+    if accel:
+        bank_fn = _accel_bank(bound, data, cfg, smearing)
+        jitted = jax.jit(jax.vmap(rep_fn, in_axes=(0, None, None, 0)))
 
-    def call(contribs):
-        with jax.default_device(_cpu_device()):
-            out = jitted(jnp.asarray(contribs, jnp.float64), consts,
-                         sigma_raw)
-        return tuple(np.asarray(o, np.float64) for o in out)
+        def call(contribs):
+            bank = bank_fn(contribs)       # accelerator, f32-normalized
+            with jax.default_device(_cpu_device()):
+                out = jitted(jnp.asarray(contribs, jnp.float64), consts,
+                             sigma_raw, jnp.asarray(bank))
+            return tuple(np.asarray(o, np.float64) for o in out)
+    else:
+        jitted = jax.jit(jax.vmap(rep_fn, in_axes=(0, None, None)))
+
+        def call(contribs):
+            with jax.default_device(_cpu_device()):
+                out = jitted(jnp.asarray(contribs, jnp.float64), consts,
+                             sigma_raw)
+            return tuple(np.asarray(o, np.float64) for o in out)
 
     if len(_POST_JIT_CACHE) >= _POST_JIT_CAP:
         _POST_JIT_CACHE.pop(next(iter(_POST_JIT_CACHE)))

@@ -180,3 +180,36 @@ def test_bad_spec_raises(setup):
         HistogramSpec("radius", xscale="sqrt")
     with pytest.raises(KeyError):
         HistogramSpec("sld").resolved(bound)
+
+
+def test_accel_post_tier_matches_cpu_f64():
+    """The accelerator-assisted post tier (exact rule, normalized f32
+    bank, f64 reductions) must match the straight f64 CPU pass within
+    mixed-precision tolerance on a smeared quadrature model — the case
+    post_compute='auto' selects it for on TPU."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(
+        __file__).resolve().parent))
+    from test_tables import NM, _smeared_cyl_data
+
+    from mcsas_tpu.post.histogram import _post_pass_f64
+    d = _smeared_cyl_data()
+    bound = get_model("CylindersIsotropic").bind(
+        active=("radius",),
+        active_ranges={"radius": (0.5 * NM, 100 * NM)})
+    rng = np.random.default_rng(3)
+    contribs = np.exp(rng.uniform(np.log(1e-9), np.log(5e-8),
+                                  (2, 30, 1)))
+    outs = {}
+    for tier in ("cpu", "accel"):
+        cfg = McSASConfig(num_contribs=30, num_reps=2,
+                          max_iterations=10000, post_compute=tier)
+        outs[tier] = _post_pass_f64(bound, d, cfg, contribs)
+    names = ("wset", "vset", "sset", "a", "b", "measval", "ag", "minq")
+    tol = dict(wset=0.0, vset=0.0, sset=0.0, a=1e-4, b=1e-4,
+               measval=2e-3, ag=1e-4, minq=1e-3)
+    for name, a, b in zip(names, outs["cpu"], outs["accel"]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(a).max()), 1e-300)
+        rel = float(np.abs(a - b).max() / scale)
+        assert rel <= max(tol[name], 1e-15), (name, rel)
