@@ -170,18 +170,19 @@ _POST_JIT_CAP = 16
 def _accel_post(bound: BoundModel, data: SASData, cfg: McSASConfig,
                 smearing: bool) -> bool:
     """Accelerator-assisted post tier decision.  'auto' selects it for
-    exactly the pathological case: a smeared quadrature model, whose
-    float64 bank costs Nq·n_off·quad_nodes host-core evaluations per
-    contribution (~770M f64 nodes for the cylinders-smeared benchmark —
-    tens of seconds on one core).  The SAME exact rule then runs on the
+    quadrature models, whose float64 bank costs Nq(·n_off)·quad_nodes
+    host-core evaluations per contribution — ~770M f64 nodes for the
+    cylinders-smeared benchmark, tens of seconds on one core; ~150M for
+    the unsmeared Kholodenko row.  The SAME exact rule then runs on the
     accelerator in normalized float32 and every reduction/solve stays
-    float64 on the host (<1e-6 relative change in reported values)."""
+    float64 on the host (<1e-6 relative change in reported
+    scale/background, tests/test_post.py)."""
     if cfg.post_compute == "cpu":
         return False
     if cfg.post_compute == "accel":
         return True
-    if not (smearing and not bound.model.elementwise_q):
-        return False
+    if bound.model.elementwise_q:
+        return False                # elementwise banks are cheap in f64
     # 'auto' additionally requires an actual accelerator: on a CPU-only
     # host the f32 tier is not faster than the straight f64 pass
     try:
