@@ -301,7 +301,8 @@ class McSASEngine:
         (self._intensity_row, self.grid, self.w_ref,
          self.uses_table) = make_intensity_kernels(
              bound, data, cfg, self.dtype,
-             allow_table=type(self)._allow_table)
+             allow_table=getattr(self, "_allow_table",
+                                 type(self)._allow_table))
 
         self.uses_pallas = self._pallas_eligible()
         if self.uses_pallas:

@@ -36,12 +36,16 @@ class ShardedEnsemble(McSASEngine):
 
     # ParamTable rows are baked against the unsharded fit grid; under
     # q-axis sharding each device sees a grid shard, so the table tier
-    # is disabled here (the exact/ff_fast kernels shard naturally)
+    # is disabled there (the exact/ff_fast kernels shard naturally).
+    # Rep-only meshes (pure data parallelism — the multi-chip scale-out
+    # layout) keep the grid whole, so they keep the table tier: the
+    # baked values simply replicate across devices.
     _allow_table = False
 
     def __init__(self, data: SASData, bound: BoundModel, cfg: McSASConfig,
                  mesh=None, mesh_shape=None):
         self.mesh = mesh if mesh is not None else make_mesh(mesh_shape)
+        self._allow_table = self.mesh.shape["q"] == 1
         self._orig_reps = cfg.num_reps
         cfg = cfg.replace(num_reps=pad_reps_for_mesh(cfg.num_reps,
                                                      self.mesh))
@@ -68,7 +72,14 @@ class ShardedEnsemble(McSASEngine):
 
         mesh = self.mesh
         specs = _state_specs()
-        if isinstance(self.grid, tuple):
+        if self.uses_table:
+            # (inner grid, baked table values): values replicate — the
+            # table tier only engages on rep-only meshes (q axis 1)
+            inner = self.grid[0]
+            inner_spec = ((P("q", None), P()) if isinstance(inner, tuple)
+                          else P("q"))
+            grid_spec = (inner_spec, P())
+        elif isinstance(self.grid, tuple):
             # smearing: (locs (Nq, nSteps) sharded along q, contraction
             # vector replicated)
             grid_spec = (P("q", None), P())
@@ -96,13 +107,12 @@ class ShardedEnsemble(McSASEngine):
             chunk_local, mesh=mesh,
             in_specs=(specs, P(), grid_spec, consts_spec),
             out_specs=(specs, P()))
-        if isinstance(self.grid, tuple):
-            grid_sharded = tuple(
-                jax.device_put(g, NamedSharding(mesh, sp))
-                for g, sp in zip(self.grid, grid_spec))
-        else:
-            grid_sharded = jax.device_put(
-                self.grid, NamedSharding(mesh, grid_spec))
+        def put(g, sp):
+            if isinstance(g, tuple):
+                return tuple(put(gi, spi) for gi, spi in zip(g, sp))
+            return jax.device_put(g, NamedSharding(mesh, sp))
+
+        grid_sharded = put(self.grid, grid_spec)
         consts_sharded = jax.tree_util.tree_map(
             lambda leaf, sp: jax.device_put(jnp.asarray(leaf),
                                             NamedSharding(mesh, sp)),

@@ -158,6 +158,32 @@ def test_q_sharded_smearing(refdata, cpus):
     assert_contribs_match(res, base)
 
 
+def test_rep_sharded_table_matches_vmap(refdata, cpus, monkeypatch):
+    """Rep-only meshes (the multi-chip DP layout) keep the param-table
+    tier — the baked values replicate — and must produce the exact
+    contributions of the unsharded table engine (no more quadrature
+    fallback cliff on pods)."""
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "256")
+    d = data.load(refdata / "sasfit_sphere-10-1.dat")
+    bound = get_model("CylindersIsotropic").bind(
+        active=("radius",),
+        active_ranges={"radius": (0.5e-9, 300e-9)})
+    cfg = McSASConfig(num_contribs=20, num_reps=4, max_iterations=800,
+                      chunk_steps=400, seed=5, max_retries=0,
+                      candidates_per_step=2, use_pallas="off",
+                      table_ff="on", show_incomplete=True)
+    base = McSASEngine(d, bound, cfg)
+    assert base.uses_table
+    base_res = base.run()
+    se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((4, 1), cpus))
+    assert se.uses_table                # rep-only mesh keeps the tier
+    res = se.run()
+    np.testing.assert_array_equal(res.contribs, base_res.contribs)
+    # q-sharded meshes still fall back to the exact/ff_fast kernels
+    se_q = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((2, 2), cpus))
+    assert not se_q.uses_table
+
+
 def test_full_q_mesh(setup, baseline, cpus):
     """1 rep-group × 8 q-shards — the extreme sequence-parallel layout."""
     d, bound, cfg = setup
