@@ -337,14 +337,27 @@ def test_bind_rejects_non_fit_param():
 
 
 def test_float32_consistency():
-    """f32 kernels must track f64 within loose tolerance (MC path check)."""
+    """f32 kernels must track f64 within loose tolerance — this is what
+    the float32 MC loop AND the accelerator-assisted post tier rely on.
+    Covers ALL models (quadrature models at a wider atol: their f32
+    node sums accumulate ~n·eps)."""
     q32 = np.asarray(Q, np.float32)
-    for name in ("Sphere", "GaussianChain", "SphericalCoreShell",
-                 "LMADenseSphere"):
-        m = REGISTRY[name]
+    atols = {"Kholodenko": 2e-3, "CylindersIsotropic": 1e-3,
+             "CylindersIsotropicAspect": 1e-3,
+             "CylindersRadiallyIsotropic": 1e-3,
+             "CylindersRadiallyIsotropicTilted": 1e-3,
+             "EllipsoidsIsotropic": 1e-3, "EllipsoidalCoreShell": 1e-3}
+    for name, m in REGISTRY.items():
         p = m.defaults()
+        if name == "CylindersRadiallyIsotropicTilted":
+            # verbatim-upstream dimensionless model: pick a radius that
+            # keeps q·R in the physical regime on the SI q grid (a unit
+            # radius would mean sin/cos at ~1e9 rad, where f32 range
+            # reduction is meaningless for ANY implementation)
+            p["radius"], p["aspect"] = 2e-9, 10.0
         f64 = ff64(m, Q, p)
         f32 = np.asarray(jax.jit(lambda qq: m.ff(qq, p))(q32))
         scale = np.abs(f64).max()
-        np.testing.assert_allclose(f32 / scale, f64 / scale, atol=2e-4,
+        np.testing.assert_allclose(f32 / scale, f64 / scale,
+                                   atol=atols.get(name, 2e-4),
                                    err_msg=name)
