@@ -41,7 +41,8 @@ _setup_default_compile_cache()
 from .config import McSASConfig                      # noqa: E402
 from .data import (DataConfig, GaussianSmearing, SASData,  # noqa: E402
                    TrapezoidSmearing, from_raw, load)
-from .models import REGISTRY, get_model, load_model_file  # noqa: E402
+from .models import (REGISTRY, get_model,  # noqa: E402
+                     load_model_dir, load_model_file)
 from .post.histogram import HistogramSpec            # noqa: E402
 from .api import (McSASResult, OutputFiles, fit,     # noqa: E402
                   run_files)
@@ -49,6 +50,7 @@ from .api import (McSASResult, OutputFiles, fit,     # noqa: E402
 __all__ = [
     "__version__", "McSASConfig", "DataConfig", "SASData",
     "TrapezoidSmearing", "GaussianSmearing", "from_raw", "load",
-    "REGISTRY", "get_model", "load_model_file", "HistogramSpec",
+    "REGISTRY", "get_model", "load_model_file", "load_model_dir",
+    "HistogramSpec",
     "McSASResult", "OutputFiles", "fit", "run_files",
 ]
