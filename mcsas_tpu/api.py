@@ -199,9 +199,15 @@ _ENGINE_CACHE_CAP = 8
 def _cached_engine(engine_cls, data: SASData, bound: BoundModel,
                    cfg: McSASConfig):
     try:
-        key = (engine_cls, data.content_key(), bound, cfg)
+        # construction-environment inputs that shape the traced engine
+        # (a table baked under MCSAS_TPU_TABLE_RES_CAP, or a different
+        # compute device flipping Pallas/table eligibility) must not be
+        # silently reused after the environment changes
+        env = (os.environ.get("MCSAS_TPU_TABLE_RES_CAP", ""),
+               str(McSASEngine._compute_device()))
+        key = (engine_cls, data.content_key(), bound, cfg, env)
         hash(key)
-    except TypeError:        # unhashable custom model piece: build fresh
+    except (TypeError, RuntimeError):   # unhashable custom model piece
         return engine_cls(data, bound, cfg)
     eng = _ENGINE_CACHE.get(key)
     if eng is None:

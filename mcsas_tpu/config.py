@@ -65,9 +65,11 @@ class McSASConfig:
     # Float64 post-analysis tier: "cpu" evaluates the exact-rule
     # intensity bank in float64 on the host; "accel" evaluates the SAME
     # exact rule on the accelerator in normalized float32 and does every
-    # reduction/solve in float64 on the host (<1e-6 relative change,
-    # 10-50x faster for smeared quadrature models — the case VERDICT r2
-    # flagged); "auto" picks accel exactly for that pathological case.
+    # reduction/solve in float64 on the host (<1e-6 relative change in
+    # reported scale/background).  "auto" picks accel for QUADRATURE
+    # models when the compute device is an accelerator — their banks
+    # cost 30-770M host-core f64 quadrature nodes (elementwise models
+    # stay on the cheap pure-f64 CPU pass).
     post_compute: str = "auto"
 
     _JSON_KEYS = {

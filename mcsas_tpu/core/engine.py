@@ -109,6 +109,40 @@ class EngineResult:
         return self.contribs.shape[0]
 
 
+def magnitude_probe(bound: BoundModel, probe_grid, two_d_psi=None):
+    """Float64 form-factor-magnitude normalization probe at the geometric
+    midpoint of the active ranges: i_ref = max |ff²| on the given grid.
+
+    The form factor can carry huge constant factors (core-shell SLD
+    differences are ~1e14 SI, squaring to ~1e28) which overflow float32
+    just as SI volume weights underflow it; scaling device rows by
+    1/i_ref keeps them O(1), and the fitted scale absorbs the factor
+    exactly.  Shared by the engine's hot-loop normalization and the
+    accelerator-assisted post tier (post/histogram.py::_accel_bank)."""
+    mids = np.asarray([np.sqrt(max(lo, 1e-300) * hi) if hi > 0 else lo
+                       for lo, hi in bound.ranges], np.float64)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu) if cpu else contextlib.nullcontext():
+        probe_grid = np.asarray(probe_grid, np.float64)
+        # one jitted call: eager evaluation would remote-compile every op
+        if two_d_psi is not None:
+            ffp = np.asarray(jax.jit(
+                lambda q, psi, v: bound.model.ff2d(q, psi, bound.pdict(v))
+            )(jnp.asarray(probe_grid), jnp.asarray(two_d_psi),
+              jnp.asarray(mids)))
+        else:
+            ffp = np.asarray(jax.jit(bound.ff)(jnp.asarray(probe_grid),
+                                               jnp.asarray(mids)))
+        probe = np.abs(ffp * ffp)
+    i_ref = float(np.nanmax(probe))
+    if not np.isfinite(i_ref) or i_ref <= 0.0:
+        i_ref = 1.0
+    return i_ref
+
+
 def make_intensity_kernels(bound: BoundModel, data: SASData,
                            cfg: McSASConfig, dtype, allow_table=True):
     """Builds the intensity-row kernel for the fit grid.
@@ -144,34 +178,10 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
     def weight_norm(pvec):
         return (bound.volume(pvec) / v_ref) ** (2.0 * comp_exp)
 
-    # second normalization: the form factor itself can carry huge constant
-    # factors (core-shell SLD differences are ~1e14 SI, squaring to ~1e28),
-    # which overflow float32 χ² reductions just as SI weights underflow
-    # them.  A one-time float64 probe at a mid-range parameter point sets a
-    # static scale so device-side rows stay O(1); the fitted scale absorbs
-    # it exactly (converted back to SI in EngineResult.scaling).
-    mids = np.asarray([np.sqrt(max(lo, 1e-300) * hi) if hi > 0 else lo
-                       for lo, hi in bound.ranges], np.float64)
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    with jax.default_device(cpu) if cpu else contextlib.nullcontext():
-        probe_grid = np.asarray(data.locs if smearing else data.q,
-                                np.float64)
-        # one jitted call: eager evaluation would remote-compile every op
-        if two_d:
-            ffp = np.asarray(jax.jit(
-                lambda q, psi, v: bound.model.ff2d(q, psi, bound.pdict(v))
-            )(jnp.asarray(probe_grid), jnp.asarray(data.psi),
-              jnp.asarray(mids)))
-        else:
-            ffp = np.asarray(jax.jit(bound.ff)(jnp.asarray(probe_grid),
-                                               jnp.asarray(mids)))
-        probe = np.abs(ffp * ffp)
-    i_ref = float(np.nanmax(probe))
-    if not np.isfinite(i_ref) or i_ref <= 0.0:
-        i_ref = 1.0
+    # second normalization: see magnitude_probe (converted back to SI in
+    # EngineResult.scaling)
+    i_ref = magnitude_probe(bound, data.locs if smearing else data.q,
+                            two_d_psi=data.psi if two_d else None)
     inv_i_ref = 1.0 / i_ref
 
     # fit-grade form factor when the model provides one (e.g. Kholodenko's
@@ -478,15 +488,27 @@ class McSASEngine:
         reduction; measval is sliced back to data.count in run()).
 
         For a tuple grid (smearing: (locs, smear_w)) only the q-axis
-        leaf is padded.  Table grids never reach here (no Pallas, no
-        q-sharding for the table tier).
+        leaf is padded.  Table grids may nest tuples
+        ((q|(locs, smear_w)), values) but only ever arrive with a
+        singleton pad requirement (the table tier is disabled under
+        q-axis sharding and Pallas), so unwrapping for the length check
+        suffices.
         """
         grid = self.grid
-        main = grid[0] if isinstance(grid, tuple) else grid
+        main = grid
+        while isinstance(main, tuple):   # table/smeared grids nest tuples
+            main = main[0]
         nq = int(main.shape[0])
         pad = (-nq) % multiple
         if not pad:
             return
+        if self.uses_table:
+            # cannot happen via the public gates (tables are disabled
+            # exactly where padding is needed); fail loudly over
+            # corrupting the baked rows
+            raise ValueError("cannot pad a table-tier fit grid; "
+                             "disable table_ff for this layout")
+        main = grid[0] if isinstance(grid, tuple) else grid
         main = jnp.concatenate(
             [main, jnp.repeat(main[-1:], pad, axis=0)], axis=0)
         self.grid = ((main,) + grid[1:] if isinstance(grid, tuple)

@@ -143,4 +143,6 @@ def agofs(x, scale, background, c: FitConstants, num_params: int):
     backgroundscalingfit.py:79-84,136-138."""
     model = scale * x + background
     val = jnp.sum((c.y - model) ** 2) / jnp.sum(1.0 / c.u)
-    return val * c.n / (c.n - num_params)
+    # dof guard: a fit grid with <= num_params points must not divide
+    # by zero/negative (mirrors the reference's n_pts/max(n-P, 1) clamp)
+    return val * c.n / jnp.maximum(c.n - num_params, 1.0)

@@ -183,10 +183,12 @@ def _accel_post(bound: BoundModel, data: SASData, cfg: McSASConfig,
         return True
     if bound.model.elementwise_q:
         return False                # elementwise banks are cheap in f64
-    # 'auto' additionally requires an actual accelerator: on a CPU-only
-    # host the f32 tier is not faster than the straight f64 pass
+    # 'auto' additionally requires an actual accelerator as the COMPUTE
+    # device (honoring a jax_default_device pin to CPU): the f32 tier is
+    # not faster than the straight f64 pass on a CPU host
+    from ..core.engine import McSASEngine
     try:
-        return jax.devices()[0].platform != "cpu"
+        return McSASEngine._compute_device().platform != "cpu"
     except RuntimeError:
         return False
 
@@ -199,18 +201,11 @@ def _accel_bank(bound: BoundModel, data: SASData, cfg: McSASConfig,
     float64 on the host.  Normalization mirrors the engine
     (core/engine.py::make_intensity_kernels): rows stay O(1) on device so
     SI magnitudes can neither underflow nor overflow float32."""
+    from ..core.engine import magnitude_probe
     comp_exp = cfg.compensation_exponent
     v_ref = bound.reference_volume()
     grid64 = np.asarray(data.locs if smearing else data.q, np.float64)
-    # float64 magnitude probe at the geometric range midpoint
-    mids = np.asarray([np.sqrt(max(lo, 1e-300) * hi) if hi > 0 else lo
-                       for lo, hi in bound.ranges], np.float64)
-    with jax.default_device(_cpu_device()):
-        ffp = np.asarray(jax.jit(bound.ff)(jnp.asarray(grid64),
-                                           jnp.asarray(mids)))
-    i_ref = float(np.nanmax(np.abs(ffp * ffp)))
-    if not np.isfinite(i_ref) or i_ref <= 0.0:
-        i_ref = 1.0
+    i_ref = magnitude_probe(bound, grid64)   # the engine's probe, shared
     scale_back = i_ref * v_ref ** (2.0 * comp_exp)     # f64 host scalar
     inv_fref = np.float32(1.0 / math.sqrt(i_ref))
 
@@ -235,9 +230,12 @@ def _accel_bank(bound: BoundModel, data: SASData, cfg: McSASConfig,
         pad = (-len(flat)) % block
         if pad:
             flat = np.concatenate([flat, np.repeat(flat[-1:], pad, 0)])
-        parts = [np.asarray(jitted(jnp.asarray(flat[i:i + block])))
+        # dispatch every block before fetching: the results stay device
+        # arrays and come back in ONE device_get (the remote link pays
+        # ~4 ms RTT per blocking transfer)
+        parts = [jitted(jnp.asarray(flat[i:i + block]))
                  for i in range(0, len(flat), block)]
-        bank = np.concatenate(parts, axis=0)[:r * n]
+        bank = np.concatenate(jax.device_get(parts), axis=0)[:r * n]
         nq = bank.shape[-1]
         return bank.astype(np.float64).reshape(r, n, nq) * scale_back
 

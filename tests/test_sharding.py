@@ -184,6 +184,29 @@ def test_rep_sharded_table_matches_vmap(refdata, cpus, monkeypatch):
     assert not se_q.uses_table
 
 
+def test_rep_sharded_smeared_table(cpus, monkeypatch):
+    """Smeared table grids nest tuples ((locs, sw), values): the sharded
+    ensemble's q-divisibility padding must unwrap them (code-review r3:
+    _pad_fit_grid crashed with AttributeError on exactly this layout)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(
+        __file__).resolve().parent))
+    from test_tables import _smeared_cyl_data
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "128")
+    d = _smeared_cyl_data()
+    bound = get_model("CylindersIsotropic").bind(
+        active=("radius",),
+        active_ranges={"radius": (0.5e-9, 100e-9)})
+    cfg = McSASConfig(num_contribs=10, num_reps=2, max_iterations=400,
+                      chunk_steps=200, seed=5, max_retries=0,
+                      candidates_per_step=2, use_pallas="off",
+                      table_ff="on", show_incomplete=True)
+    se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((2, 1), cpus))
+    assert se.uses_table
+    res = se.run()
+    assert np.all(np.isfinite(res.conval))
+
+
 def test_full_q_mesh(setup, baseline, cpus):
     """1 rep-group × 8 q-shards — the extreme sequence-parallel layout."""
     d, bound, cfg = setup
