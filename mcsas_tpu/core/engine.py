@@ -470,11 +470,13 @@ class McSASEngine:
                     "use_pallas='on' but this model/config is not "
                     "eligible for the fused kernel")
             return True
-        # 'auto': also require the resident state + candidate temporaries
-        # to fit VMEM, so oversized problems degrade to the XLA scan path
-        # instead of failing at compile/run time
+        # 'auto': also require at least one repetition's state +
+        # candidate temporaries to fit VMEM — the kernel grids over
+        # repetition blocks, so the ensemble size itself is unbounded;
+        # truly oversized problems (one rep over budget) degrade to the
+        # XLA scan path instead of failing at compile/run time
         return (ok and self._compute_device().platform == "tpu"
-                and mc_kernel.fits_vmem(self))
+                and mc_kernel.rep_block_size(self) > 0)
 
     @staticmethod
     def _compute_device():

@@ -101,19 +101,42 @@ def _hash_bits(seed, step, salt, shape):
     return h
 
 
-def build_chunk_fn(engine, interpret=None):
+def rep_block_size(engine) -> int:
+    """Largest divisor of num_reps whose per-block state fits VMEM.
+
+    The kernel grids over repetition blocks (sequential on the core), so
+    the resident set per program is the BLOCK's bank + temporaries — the
+    VMEM ceiling bounds the block, not the ensemble.  Returns 0 when even
+    a single repetition does not fit."""
+    r = int(engine.cfg.num_reps)
+    for rb in range(r, 0, -1):
+        if r % rb == 0 and fits_vmem(engine, n_reps=rb):
+            return rb
+    return 0
+
+
+def build_chunk_fn(engine, interpret=None, rep_block=None):
     """Returns chunk_fn(state, ri) -> (state, ri) using the fused kernel.
 
     The engine's grid/consts must already be lane-padded (u = 0 on padded
     lanes so they are invisible to every reduction).  On a non-TPU compute
     device the kernel runs in interpreter mode (CI validation of the
     kernel logic without hardware).
+
+    Large ensembles grid over repetition BLOCKS (*rep_block* reps per
+    program, auto-sized to VMEM): each program runs the whole chunk for
+    its block with the block's intensity bank resident — the ensemble
+    size is no longer VMEM-bounded.
     """
     if interpret is None:
         interpret = engine._compute_device().platform != "tpu"
     bound = engine.bound
     cfg = engine.cfg
     n_reps = cfg.num_reps
+    rb = rep_block if rep_block is not None else rep_block_size(engine)
+    if not rb or n_reps % rb:
+        raise ValueError(f"invalid rep_block {rb} for {n_reps} reps")
+    n_blocks = n_reps // rb
     n = cfg.num_contribs
     k_cand = cfg.candidates_per_step
     n_p = bound.n_active
@@ -154,8 +177,14 @@ def build_chunk_fn(engine, interpret=None):
                rset_in, ibank_in, ft_in, fstate_in, istate_in,
                rset_ref, ibank_ref, ft_ref, fstate_ref, istate_ref,
                ri_out_ref):
+        # program b owns the repetition block [b*rb, (b+1)*rb): rset and
+        # ibank arrive as per-block VMEM blocks; the small 2D state
+        # (ft/fstate/istate) stays a full array (Mosaic tiling rules bar
+        # blocking a small second-to-last dim) and is row-sliced here
+        blk = pl.program_id(0)
+        off = blk * jnp.int32(rb)
         if not interpret:
-            pltpu.prng_seed(seed_ref[0])
+            pltpu.prng_seed(seed_ref[blk])
         # copy aliased inputs are the same buffers as outputs; the *_in
         # refs are unused but keep the alias bookkeeping explicit
         del rset_in, ibank_in, ft_in, fstate_in, istate_in
@@ -170,9 +199,9 @@ def build_chunk_fn(engine, interpret=None):
         eps = jnp.float32(1e-30)
 
         # drift-free start: rebuild totals from the bank
-        ft_ref[:] = jnp.sum(ibank_ref[:], axis=1)
+        ft_ref[pl.ds(off, rb)] = jnp.sum(ibank_ref[:], axis=1)
 
-        kiota = jax.lax.broadcasted_iota(jnp.int32, (n_reps, k_cand), 1)
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (rb, k_cand), 1)
 
         def body(step, ri):
             # ---- proposals: hardware PRNG, one (R, K) draw per parameter;
@@ -184,11 +213,11 @@ def build_chunk_fn(engine, interpret=None):
                 cur_block = rset_ref[:, pl.ds(ri, 1), :]   # (R, 1, P)
             for ip, name in enumerate(bound.active):
                 if interpret:
-                    ibits = _hash_bits(seed_ref[0], step, ip,
-                                       (n_reps, k_cand))
+                    ibits = _hash_bits(seed_ref[blk], step, ip,
+                                       (rb, k_cand))
                 else:
                     ibits = pltpu.bitcast(
-                        pltpu.prng_random_bits((n_reps, k_cand)),
+                        pltpu.prng_random_bits((rb, k_cand)),
                         jnp.int32)
                 # top 24 bits → [0, 1); Mosaic lacks uint32→f32 casts, so
                 # work in int32 with a logical shift before casting
@@ -219,14 +248,14 @@ def build_chunk_fn(engine, interpret=None):
             ffv = model_ff(q3, pdict)                  # (R, K, nq)
             vol = bound.model.volume(pdict)
             if not hasattr(vol, "ndim") or vol.ndim == 0:
-                vol = jnp.full((n_reps, k_cand, 1), vol, jnp.float32)
+                vol = jnp.full((rb, k_cand, 1), vol, jnp.float32)
             w = (vol / v_ref) ** comp2 * jnp.float32(inv_i_ref)
             rows = jnp.minimum(ffv * ffv * w,
                                jnp.float32(row_clamp))  # (R, K, nq)
 
             # ---- incremental totals and closed-form solve per candidate
-            old_row = ibank_ref[:, pl.ds(ri, 1), :]    # (R, 1, nq)
-            ft = ft_ref[:]                             # (R, nq)
+            old_row = ibank_ref[:, pl.ds(ri, 1), :]    # (rb, 1, nq)
+            ft = ft_ref[pl.ds(off, rb)]                # (rb, nq)
             x = ft[:, None, :] - old_row + rows        # (R, K, nq)
             ux = u3 * x
             s_x = jnp.sum(ux, axis=2)                  # (R, K)
@@ -269,8 +298,8 @@ def build_chunk_fn(engine, interpret=None):
             best_b = jnp.sum(b * onehot, axis=1, keepdims=True)
 
             # ---- accept/reject (vectorized across reps)
-            conval = fstate_ref[:, 2:3]                          # (R, 1)
-            n_it = istate_ref[:, 0:1]
+            conval = fstate_ref[pl.ds(off, rb), 2:3]             # (rb, 1)
+            n_it = istate_ref[pl.ds(off, rb), 0:1]
             active = ((conval > jnp.float32(crit))
                       & (n_it < jnp.int32(max_iter)))
             accept = active & (min_chi < conval)
@@ -278,22 +307,23 @@ def build_chunk_fn(engine, interpret=None):
 
             ibank_ref[:, pl.ds(ri, 1), :] = jnp.where(
                 acc3, best_rows[:, None, :], old_row)
-            ft_ref[:] = jnp.where(accept, best_x, ft)
+            ft_ref[pl.ds(off, rb)] = jnp.where(accept, best_x, ft)
             old_p = rset_ref[:, pl.ds(ri, 1), :]                 # (R, 1, P)
             cand_block = jnp.stack(
                 [jnp.sum(c * onehot, axis=1) for c in cands],
                 axis=-1)[:, None, :]                             # (R, 1, P)
             rset_ref[:, pl.ds(ri, 1), :] = jnp.where(
                 acc3, cand_block, old_p)
-            fstate_ref[:, 0:1] = jnp.where(accept, best_a,
-                                           fstate_ref[:, 0:1])
-            fstate_ref[:, 1:2] = jnp.where(accept, best_b,
-                                           fstate_ref[:, 1:2])
-            fstate_ref[:, 2:3] = jnp.where(accept, min_chi, conval)
-            istate_ref[:, 0:1] = (n_it + jnp.int32(k_cand)
-                                  * active.astype(jnp.int32))
-            istate_ref[:, 1:2] = (istate_ref[:, 1:2]
-                                  + accept.astype(jnp.int32))
+            rows_b = pl.ds(off, rb)
+            fstate_ref[rows_b, 0:1] = jnp.where(accept, best_a,
+                                                fstate_ref[rows_b, 0:1])
+            fstate_ref[rows_b, 1:2] = jnp.where(accept, best_b,
+                                                fstate_ref[rows_b, 1:2])
+            fstate_ref[rows_b, 2:3] = jnp.where(accept, min_chi, conval)
+            istate_ref[rows_b, 0:1] = (n_it + jnp.int32(k_cand)
+                                       * active.astype(jnp.int32))
+            istate_ref[rows_b, 1:2] = (istate_ref[rows_b, 1:2]
+                                       + accept.astype(jnp.int32))
             next_ri = ri + jnp.int32(1)
             return jnp.where(next_ri >= jnp.int32(n), jnp.int32(0), next_ri)
 
@@ -310,8 +340,39 @@ def build_chunk_fn(engine, interpret=None):
     ranges = jnp.asarray(
         np.asarray(bound.ranges, np.float64).reshape(-1), jnp.float32)
 
+    # One grid dimension over repetition blocks: program b owns reps
+    # [b·rb, (b+1)·rb).  The big 3D arrays (rset, ibank) arrive as
+    # per-block VMEM blocks — leading-axis blocking with full trailing
+    # dims satisfies Mosaic's tiling rules; index-map components are
+    # CAST TO int32 (under package-wide x64 the literals would become
+    # i64, which Mosaic cannot legalize).  The small 2D state and the
+    # constants stay FULL arrays (a blocked small second-to-last dim
+    # violates the (8, 128) tiling rule); the kernel row-slices them by
+    # program id, and sequential grid semantics make the disjoint-row
+    # writes safe.
+    # index maps are created INSIDE the lambdas with explicit int32
+    # components: they may not capture constants, python literals would
+    # promote to i64 under package-wide x64 (Mosaic cannot legalize i64
+    # returns), and pallas SYNTHESIZES i64 maps for spec-less arrays
+    # once a grid exists — so every spec is explicit
+    def rep_blocked(*tail):
+        nt = len(tail)
+        return pl.BlockSpec(
+            (rb,) + tail,
+            lambda i: (jnp.int32(i),) + tuple(
+                jnp.int32(0) for _ in range(nt)),
+            memory_space=pltpu.VMEM)
+
+    def full(shape, space=pltpu.VMEM):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda i: tuple(jnp.int32(0) for _ in range(nd)),
+            memory_space=space)
+
+    smem = pltpu.SMEM
     pallas_fn = pl.pallas_call(
         kernel,
+        grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct((n_reps, n, n_p), jnp.float32),   # rset
             jax.ShapeDtypeStruct((n_reps, n, nq), jnp.float32),    # ibank
@@ -321,26 +382,26 @@ def build_chunk_fn(engine, interpret=None):
             jax.ShapeDtypeStruct((1,), jnp.int32),                 # ri
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # q
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # y
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # u
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # sc
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # ranges
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # ri0
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # rset
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # ibank
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # ft
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # fstate
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # istate
+            full((1, nq)),                           # q
+            full((1, nq)),                           # y
+            full((1, nq)),                           # u
+            full((2,), smem),                        # sc
+            full((2 * n_p,), smem),                  # ranges
+            full((n_blocks,), smem),                 # seeds
+            full((1,), smem),                        # ri0
+            rep_blocked(n, n_p),                     # rset (blocked)
+            rep_blocked(n, nq),                      # ibank (blocked)
+            full((n_reps, nq)),                      # ft
+            full((n_reps, 8)),                       # fstate
+            full((n_reps, 8)),                       # istate
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            rep_blocked(n, n_p),
+            rep_blocked(n, nq),
+            full((n_reps, nq)),
+            full((n_reps, 8)),
+            full((n_reps, 8)),
+            full((1,), smem),
         ),
         input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3, 11: 4},
         interpret=interpret,
@@ -348,11 +409,11 @@ def build_chunk_fn(engine, interpret=None):
 
     @jax.jit
     def chunk_fn(state, ri):
-        # advance the per-rep threefry keys; the kernel seeds the hardware
-        # PRNG from the first rep's fresh subkey
+        # advance the per-rep threefry keys; each rep BLOCK seeds the
+        # hardware PRNG from its first rep's fresh subkey
         keys = jax.vmap(jax.random.split)(state.key)
         new_key = keys[:, 0]
-        seed = jnp.asarray([keys[0, 1, 0].astype(jnp.int32)])
+        seeds = keys[::rb, 1, 0].astype(jnp.int32)             # (blocks,)
         fstate = jnp.concatenate(
             [state.scale[:, None], state.background[:, None],
              state.conval[:, None],
@@ -361,7 +422,7 @@ def build_chunk_fn(engine, interpret=None):
             [state.n_iter[:, None], state.n_moves[:, None],
              jnp.zeros((n_reps, 6), jnp.int32)], axis=1)
         rset, ibank, ft, fstate, istate, ri_out = pallas_fn(
-            grid_1d, y_1d, u_1d, sc, ranges, seed,
+            grid_1d, y_1d, u_1d, sc, ranges, seeds,
             ri.reshape(1).astype(jnp.int32),
             state.rset, state.ibank, state.ft, fstate, istate)
         new_state = state._replace(

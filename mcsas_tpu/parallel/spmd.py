@@ -61,8 +61,9 @@ class ShardedEnsemble(McSASEngine):
             cfg.use_pallas != "off" and self.mesh.shape["q"] == 1
             and mc_kernel.supports(self) and cfg.num_reps % n_rep_axis == 0
             and (cfg.use_pallas == "on"
-                 or mc_kernel.fits_vmem(
-                     self, n_reps=cfg.num_reps // n_rep_axis)))
+                 # the kernel grids over rep blocks, so per-device
+                 # eligibility only needs ONE rep to fit VMEM
+                 or mc_kernel.fits_vmem(self, n_reps=1)))
         if self._pallas_shard:
             self._pad_fit_grid(128)
 
