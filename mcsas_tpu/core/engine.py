@@ -103,6 +103,7 @@ class EngineResult:
     # which execution tier actually ran (vs static eligibility)
     used_pallas: bool = False
     used_table: bool = False
+    used_prefetch: bool = False   # table rows streamed into the kernel
 
     @property
     def num_reps(self) -> int:
@@ -315,8 +316,9 @@ class McSASEngine:
                                  type(self)._allow_table))
 
         self.uses_pallas = self._pallas_eligible()
-        if self.uses_pallas:
-            self._pad_fit_grid(128)   # lane-align for the fused kernel
+        self.uses_prefetch = self._prefetch_eligible()
+        if self.uses_pallas or self.uses_prefetch:
+            self._pad_fit_grid(128)   # lane-align for the pallas kernels
 
         # grid/consts are jit *arguments*, not baked closure constants:
         # the compiled executables are shared across datasets with the
@@ -324,13 +326,15 @@ class McSASEngine:
         _init = jax.jit(lambda keys, grid, consts: jax.vmap(
             lambda k: self._init_rep(k, grid, consts))(keys))
         self._init_batch = lambda keys: _init(keys, self.grid, self.consts)
-        if self.uses_pallas:
-            from ..ops.mc_kernel import build_chunk_fn
-            _pallas_chunk = build_chunk_fn(self)
-            # the Pallas kernel bakes its (lane-padded) grid/consts — its
-            # executables are per-dataset by construction; the uniform
-            # arg signature below exists so the drive can stay shareable
-            # for the XLA path
+        if self.uses_pallas or self.uses_prefetch:
+            from ..ops.mc_kernel import (build_chunk_fn,
+                                         build_prefetch_chunk_fn)
+            _pallas_chunk = (build_chunk_fn(self) if self.uses_pallas
+                             else build_prefetch_chunk_fn(self))
+            # the Pallas kernels bake their (lane-padded) grid/consts —
+            # their executables are per-dataset by construction; the
+            # uniform arg signature below exists so the drive can stay
+            # shareable for the XLA path
             self._chunk_impl = lambda state, ri, grid, consts: \
                 _pallas_chunk(state, ri)
             self._chunk_batch = _pallas_chunk
@@ -391,7 +395,7 @@ class McSASEngine:
         # (no table) keep the host chunk loop: wrapping them in a
         # while_loop blows up (remote) compile time.
         self._drive = None
-        fast_body = (self.uses_pallas
+        fast_body = (self.uses_pallas or self.uses_prefetch
                      or (bound.model.elementwise_q and not self.uses_table))
         if fast_body or self.uses_table:
             drive_trips = None if fast_body else 32
@@ -465,11 +469,13 @@ class McSASEngine:
         from ..ops import mc_kernel
         ok = mc_kernel.supports(self)
         if mode == "on":
-            if not ok:
-                raise ValueError(
-                    "use_pallas='on' but this model/config is not "
-                    "eligible for the fused kernel")
-            return True
+            if ok:
+                return True
+            if mc_kernel.supports_prefetch(self):
+                return False            # the prefetch variant takes it
+            raise ValueError(
+                "use_pallas='on' but this model/config is not "
+                "eligible for either Pallas kernel")
         # 'auto': also require at least one repetition's state +
         # candidate temporaries to fit VMEM — the kernel grids over
         # repetition blocks, so the ensemble size itself is unbounded;
@@ -477,6 +483,21 @@ class McSASEngine:
         # XLA scan path instead of failing at compile/run time
         return (ok and self._compute_device().platform == "tpu"
                 and mc_kernel.rep_block_size(self) > 0)
+
+    def _prefetch_eligible(self) -> bool:
+        """Prefetched-proposal kernel (table-tier models, global-only
+        proposals): second choice after the fully fused kernel."""
+        mode = getattr(self.cfg, "use_pallas", "off")
+        if (mode == "off" or self.uses_pallas
+                or type(self) is not McSASEngine):
+            return False
+        from ..ops import mc_kernel
+        if not mc_kernel.supports_prefetch(self):
+            return False
+        if mode == "on":
+            return True
+        return (self._compute_device().platform == "tpu"
+                and mc_kernel.prefetch_rep_block(self) > 0)
 
     @staticmethod
     def _compute_device():
@@ -490,11 +511,10 @@ class McSASEngine:
         reduction; measval is sliced back to data.count in run()).
 
         For a tuple grid (smearing: (locs, smear_w)) only the q-axis
-        leaf is padded.  Table grids may nest tuples
-        ((q|(locs, smear_w)), values) but only ever arrive with a
-        singleton pad requirement (the table tier is disabled under
-        q-axis sharding and Pallas), so unwrapping for the length check
-        suffices.
+        leaf is padded.  Table grids ((q|(locs, smear_w)), values) pad
+        the baked VALUES along their q axis with zeros — the table
+        lookup never reads the q leaf, so zero rows in the pad lanes
+        plus u = 0 keep them invisible to every reduction.
         """
         grid = self.grid
         main = grid
@@ -505,16 +525,31 @@ class McSASEngine:
         if not pad:
             return
         if self.uses_table:
-            # cannot happen via the public gates (tables are disabled
-            # exactly where padding is needed); fail loudly over
-            # corrupting the baked rows
-            raise ValueError("cannot pad a table-tier fit grid; "
-                             "disable table_ff for this layout")
-        main = grid[0] if isinstance(grid, tuple) else grid
-        main = jnp.concatenate(
-            [main, jnp.repeat(main[-1:], pad, axis=0)], axis=0)
-        self.grid = ((main,) + grid[1:] if isinstance(grid, tuple)
-                     else main)
+            inner, values = grid
+            if int(values.shape[1]) != nq:
+                # e.g. Kholodenko's smeared table: rows live on the
+                # FLATTENED locs grid and the lookup finishes the
+                # contraction itself — zero-padding columns would corrupt
+                # the reshape.  The prefetch eligibility gate
+                # (mc_kernel.supports_prefetch) excludes this layout, so
+                # reaching here is a wiring bug: fail loudly.
+                raise ValueError("cannot lane-pad a table whose rows are "
+                                 "not on the fit grid")
+            leaf = inner[0] if isinstance(inner, tuple) else inner
+            leaf = jnp.concatenate(
+                [leaf, jnp.repeat(leaf[-1:], pad, axis=0)], axis=0)
+            inner = ((leaf,) + inner[1:] if isinstance(inner, tuple)
+                     else leaf)
+            values = jnp.concatenate(
+                [values, jnp.zeros((values.shape[0], pad), values.dtype)],
+                axis=1)
+            self.grid = (inner, values)
+        else:
+            main = grid[0] if isinstance(grid, tuple) else grid
+            main = jnp.concatenate(
+                [main, jnp.repeat(main[-1:], pad, axis=0)], axis=0)
+            self.grid = ((main,) + grid[1:] if isinstance(grid, tuple)
+                         else main)
         c = self.consts
         zeros = jnp.zeros((pad,), c.y.dtype)
         self.consts = FitConstants(
@@ -610,12 +645,13 @@ class McSASEngine:
         return int(round(self.cfg.candidates_per_step
                          * self.cfg.local_moves))
 
-    def _draw_chunk_proposals(self, keys):
+    def _draw_chunk_proposals(self, keys, n_steps=None):
         """Pre-draws all proposals for one chunk in one batched RNG call:
-        (chunk, R, K, P) from per-rep keys.  With local moves enabled the
-        last k_local candidate rows hold unit uniforms (transformed by the
-        step against the slot's current value)."""
+        (n_steps, R, K, P) from per-rep keys.  With local moves enabled
+        the last k_local candidate rows hold unit uniforms (transformed by
+        the step against the slot's current value)."""
         cfg = self.cfg
+        n_steps = cfg.chunk_steps if n_steps is None else n_steps
         k_local = self._k_local()
         k_global = cfg.candidates_per_step - k_local
         p = self.bound.n_active
@@ -625,11 +661,11 @@ class McSASEngine:
             parts = []
             if k_global:
                 parts.append(draw_params(
-                    kg, self.bound, count=cfg.chunk_steps * k_global,
-                    dtype=self.dtype).reshape(cfg.chunk_steps, k_global, p))
+                    kg, self.bound, count=n_steps * k_global,
+                    dtype=self.dtype).reshape(n_steps, k_global, p))
             if k_local:
                 parts.append(jax.random.uniform(
-                    kl, (cfg.chunk_steps, k_local, p), dtype=self.dtype))
+                    kl, (n_steps, k_local, p), dtype=self.dtype))
             return jnp.concatenate(parts, axis=1)
         return jnp.swapaxes(jax.vmap(per_rep)(keys), 0, 1)
 
@@ -793,7 +829,8 @@ class McSASEngine:
             elapsed=elapsed,
             iters_per_sec=total_iters / max(elapsed, 1e-9),
             moves_per_sec=int(n_moves.sum()) / max(elapsed, 1e-9),
-            used_pallas=(self.uses_pallas
+            used_pallas=(self.uses_pallas or self.uses_prefetch
                          or getattr(self, "_pallas_shard", False)),
             used_table=self.uses_table,
+            used_prefetch=self.uses_prefetch,
         )

@@ -101,6 +101,48 @@ def _hash_bits(seed, step, salt, shape):
     return h
 
 
+def _candidate_solve(x, u3, y3, s_u, s_uy, find_bg, pos_bg, n_fit,
+                     kiota, k_cand):
+    """Closed-form per-candidate (scale, background) solve + first-match
+    best pick, shared by both kernel variants (mirrors fitcore's
+    degeneracy guards).  *x* is (R, K, nq); returns (min_chi (R,1),
+    onehot (R,K), a (R,K), b (R,K))."""
+    ux = u3 * x
+    s_x = jnp.sum(ux, axis=2)                  # (R, K)
+    s_xx = jnp.sum(ux * x, axis=2)
+    s_xy = jnp.sum(ux * y3, axis=2)
+    # scale-invariant degeneracy guards, mirroring fitcore
+    rel_eps = jnp.float32(1e-6)
+    xx_zero = s_xx <= 0.0
+    a_nobg = jnp.where(
+        xx_zero, jnp.zeros_like(s_xy),
+        s_xy / jnp.where(xx_zero, jnp.ones_like(s_xx), s_xx))
+    if find_bg:
+        denom = s_u * s_xx
+        det = denom - s_x * s_x
+        degen = xx_zero | (det <= rel_eps * denom)
+        safe = jnp.where(degen, jnp.ones_like(det), det)
+        a = (s_u * s_xy - s_x * s_uy) / safe
+        b = (s_uy - a * s_x) / s_u
+        a = jnp.where(degen, a_nobg, a)
+        b = jnp.where(degen, (s_uy - a_nobg * s_x) / s_u, b)
+        if pos_bg:
+            neg = b < 0.0
+            a = jnp.where(neg, a_nobg, a)
+            b = jnp.maximum(b, 0.0)
+    else:
+        a = a_nobg
+        b = jnp.zeros_like(a)
+    r = y3 - a[:, :, None] * x - b[:, :, None]
+    chi2 = jnp.sum(u3 * r * r, axis=2) * jnp.float32(1.0 / n_fit)
+    # best candidate per rep (first-match one-hot, no gather)
+    min_chi = jnp.min(chi2, axis=1, keepdims=True)           # (R, 1)
+    masked = jnp.where(chi2 <= min_chi, kiota, jnp.int32(k_cand))
+    bidx = jnp.min(masked, axis=1, keepdims=True)            # (R, 1)
+    onehot = (kiota == bidx).astype(jnp.float32)             # (R, K)
+    return min_chi, onehot, a, b
+
+
 def rep_block_size(engine) -> int:
     """Largest divisor of num_reps whose per-block state fits VMEM.
 
@@ -257,40 +299,9 @@ def build_chunk_fn(engine, interpret=None, rep_block=None):
             old_row = ibank_ref[:, pl.ds(ri, 1), :]    # (rb, 1, nq)
             ft = ft_ref[pl.ds(off, rb)]                # (rb, nq)
             x = ft[:, None, :] - old_row + rows        # (R, K, nq)
-            ux = u3 * x
-            s_x = jnp.sum(ux, axis=2)                  # (R, K)
-            s_xx = jnp.sum(ux * x, axis=2)
-            s_xy = jnp.sum(ux * y3, axis=2)
-            # scale-invariant degeneracy guards, mirroring fitcore
-            rel_eps = jnp.float32(1e-6)
-            xx_zero = s_xx <= 0.0
-            a_nobg = jnp.where(
-                xx_zero, jnp.zeros_like(s_xy),
-                s_xy / jnp.where(xx_zero, jnp.ones_like(s_xx), s_xx))
-            if find_bg:
-                denom = s_u * s_xx
-                det = denom - s_x * s_x
-                degen = xx_zero | (det <= rel_eps * denom)
-                safe = jnp.where(degen, jnp.ones_like(det), det)
-                a = (s_u * s_xy - s_x * s_uy) / safe
-                b = (s_uy - a * s_x) / s_u
-                a = jnp.where(degen, a_nobg, a)
-                b = jnp.where(degen, (s_uy - a_nobg * s_x) / s_u, b)
-                if pos_bg:
-                    neg = b < 0.0
-                    a = jnp.where(neg, a_nobg, a)
-                    b = jnp.maximum(b, 0.0)
-            else:
-                a = a_nobg
-                b = jnp.zeros_like(a)
-            r = y3 - a[:, :, None] * x - b[:, :, None]
-            chi2 = jnp.sum(u3 * r * r, axis=2) * jnp.float32(1.0 / n_fit)
-
-            # ---- best candidate per rep (first-match one-hot, no gather)
-            min_chi = jnp.min(chi2, axis=1, keepdims=True)       # (R, 1)
-            masked = jnp.where(chi2 <= min_chi, kiota, jnp.int32(k_cand))
-            bidx = jnp.min(masked, axis=1, keepdims=True)        # (R, 1)
-            onehot = (kiota == bidx).astype(jnp.float32)         # (R, K)
+            min_chi, onehot, a, b = _candidate_solve(
+                x, u3, y3, s_u, s_uy, find_bg, pos_bg, n_fit,
+                kiota, k_cand)
             oh3 = onehot[:, :, None]
             best_x = jnp.sum(x * oh3, axis=1)                    # (R, nq)
             best_rows = jnp.sum(rows * oh3, axis=1)
@@ -410,7 +421,7 @@ def build_chunk_fn(engine, interpret=None, rep_block=None):
     @jax.jit
     def chunk_fn(state, ri):
         # advance the per-rep threefry keys; each rep BLOCK seeds the
-        # hardware PRNG from its first rep's fresh subkey
+        # hardware PRNG from its first rep's fresh subkey  [fused kernel]
         keys = jax.vmap(jax.random.split)(state.key)
         new_key = keys[:, 0]
         seeds = keys[::rb, 1, 0].astype(jnp.int32)             # (blocks,)
@@ -431,5 +442,280 @@ def build_chunk_fn(engine, interpret=None, rep_block=None):
             conval=fstate[:, 2],
             n_iter=istate[:, 0], n_moves=istate[:, 1])
         return new_state, ri_out[0]
+
+    return chunk_fn
+
+
+# --------------------------------------------------------------------------
+# Prefetched-proposal variant: models whose candidate rows cannot be
+# evaluated in-kernel (param-table tier — Mosaic's dynamic_gather only
+# spans 8 sublanes, measured; see docs/DESIGN.md) but whose proposals are
+# state-independent (no local moves).  A whole segment of steps is drawn
+# and row-evaluated in ONE batched XLA pass (efficient batched row
+# gathers / smearing contraction), and the kernel streams the
+# (S, R, K, nq) row bank from HBM block-by-block via the grid pipeline —
+# no per-step scan dispatch, no in-kernel gathers, no in-kernel PRNG.
+# Covers the reference hot loop for every table-tier model
+# (/root/reference/src/mcsas/mcsas/mcsas.py:354-404).
+# --------------------------------------------------------------------------
+
+# HBM footprint cap for one segment's prefetched candidate rows
+_PREFETCH_HBM_BUDGET = 64 * 2 ** 20
+
+
+def supports_prefetch(engine) -> bool:
+    """True when the prefetched-proposal kernel can run this engine.
+
+    Requires the param-table tier (quadrature models prefetching raw
+    quadrature would re-inflate compile times) and a purely global
+    proposal stream: local moves perturb the slot's CURRENT value, which
+    only exists in-kernel."""
+    cfg = engine.cfg
+    if not (getattr(engine, "uses_table", False)
+            and engine._k_local() == 0
+            and jnp.dtype(cfg.dtype) == jnp.float32
+            and engine.bound.n_active >= 1):
+        return False
+    # lane padding must be possible: table rows whose width is not the
+    # fit-grid length (e.g. Kholodenko's smeared flattened-locs rows,
+    # contracted inside the lookup) cannot be zero-padded per column
+    inner, values = engine.grid
+    main = inner
+    while isinstance(main, tuple):
+        main = main[0]
+    nq = int(main.shape[0])
+    return nq % _LANE == 0 or int(values.shape[1]) == nq
+
+
+def prefetch_vmem_bytes(engine, n_reps=None) -> int:
+    """VMEM footprint of the prefetch kernel: the fused-kernel resident
+    set plus the double-buffered streamed row block."""
+    cfg = engine.cfg
+    r = int(cfg.num_reps if n_reps is None else n_reps)
+    k = int(cfg.candidates_per_step)
+    nq = pad_lanes(int(engine.consts.y.shape[0]))
+    return vmem_bytes(engine, n_reps) + 2 * r * k * nq * 4
+
+
+def prefetch_rep_block(engine) -> int:
+    """Largest divisor of num_reps whose prefetch-kernel state fits VMEM
+    (0 when even one repetition does not fit)."""
+    r = int(engine.cfg.num_reps)
+    for rb in range(r, 0, -1):
+        if r % rb == 0 and prefetch_vmem_bytes(engine, rb) <= _VMEM_BUDGET:
+            return rb
+    return 0
+
+
+def prefetch_seg_steps(engine) -> int:
+    """Steps per prefetch segment: bounded by the HBM budget for the
+    (S, R, K, nq) row bank and by the configured chunk size."""
+    cfg = engine.cfg
+    nq = pad_lanes(int(engine.consts.y.shape[0]))
+    per_step = int(cfg.num_reps) * int(cfg.candidates_per_step) * nq * 4
+    return max(1, min(int(cfg.chunk_steps),
+                      _PREFETCH_HBM_BUDGET // max(per_step, 1)))
+
+
+def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
+                            seg_steps=None):
+    """Returns chunk_fn(state, ri) -> (state, ri) using the prefetch
+    kernel: one call advances ``seg_steps`` MC steps in a single launch
+    (proposal draw + batched row evaluation in XLA, solve/accept
+    sequence in Pallas).
+
+    The engine's grid/consts must already be lane-padded (u = 0 on
+    padded lanes).  The proposal stream is IDENTICAL to the XLA scan
+    path (same threefry draws via ``engine._draw_chunk_proposals``, same
+    ``intensity_row`` evaluation); only the solve's reduction
+    association differs.
+    """
+    if interpret is None:
+        interpret = engine._compute_device().platform != "tpu"
+    bound = engine.bound
+    cfg = engine.cfg
+    n_reps = cfg.num_reps
+    rb = rep_block if rep_block is not None else prefetch_rep_block(engine)
+    if not rb or n_reps % rb:
+        raise ValueError(f"invalid rep_block {rb} for {n_reps} reps")
+    n_blocks = n_reps // rb
+    seg = seg_steps if seg_steps is not None else prefetch_seg_steps(engine)
+    n = cfg.num_contribs
+    k_cand = cfg.candidates_per_step
+    n_p = bound.n_active
+    nq = int(engine.consts.y.shape[0])
+    assert nq % _LANE == 0, "grid must be lane-padded for the pallas path"
+    crit = float(cfg.convergence_criterion)
+    max_iter = int(cfg.max_iterations)
+    find_bg = cfg.find_background
+    pos_bg = cfg.positive_background
+    n_fit = int(engine.consts.n)
+
+    def kernel(y_ref, u_ref, sc_ref, slots_ref,
+               rows_in, cands_in, rset_in, ibank_in, ft_in, fstate_in,
+               istate_in,
+               rset_ref, ibank_ref, ft_ref, fstate_ref, istate_ref):
+        # program (b, s): one MC step for repetition block b.  rows/cands
+        # arrive as per-(step, block) VMEM blocks streamed by the grid
+        # pipeline; big 3D state (rset/ibank) as per-block VMEM blocks;
+        # small 2D state stays full-array, row-sliced by program id
+        # (sequential TPU grid semantics make disjoint-row writes safe).
+        blk = pl.program_id(0)
+        off = blk * jnp.int32(rb)
+        s = pl.program_id(1)
+        del rset_in, ibank_in, ft_in, fstate_in, istate_in
+
+        y3 = y_ref[:].reshape(1, 1, nq)
+        u3 = u_ref[:].reshape(1, 1, nq)
+        s_u = sc_ref[0]
+        s_uy = sc_ref[1]
+        ri = slots_ref[s]
+
+        # drift-free segment start: rebuild totals from the bank
+        @pl.when(s == jnp.int32(0))
+        def _():
+            ft_ref[pl.ds(off, rb)] = jnp.sum(ibank_ref[:], axis=1)
+
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (rb, k_cand), 1)
+        rows = rows_in[0]                              # (rb, K, nq)
+        cand_p = cands_in[0]                           # (rb, K, P)
+
+        # ---- incremental totals and closed-form solve per candidate
+        old_row = ibank_ref[:, pl.ds(ri, 1), :]        # (rb, 1, nq)
+        ft = ft_ref[pl.ds(off, rb)]                    # (rb, nq)
+        x = ft[:, None, :] - old_row + rows            # (rb, K, nq)
+        min_chi, onehot, a, b = _candidate_solve(
+            x, u3, y3, s_u, s_uy, find_bg, pos_bg, n_fit, kiota, k_cand)
+        oh3 = onehot[:, :, None]
+        best_x = jnp.sum(x * oh3, axis=1)              # (rb, nq)
+        best_rows = jnp.sum(rows * oh3, axis=1)
+        best_a = jnp.sum(a * onehot, axis=1, keepdims=True)
+        best_b = jnp.sum(b * onehot, axis=1, keepdims=True)
+
+        # ---- accept/reject (vectorized across the block's reps)
+        rows_b = pl.ds(off, rb)
+        conval = fstate_ref[rows_b, 2:3]               # (rb, 1)
+        n_it = istate_ref[rows_b, 0:1]
+        active = ((conval > jnp.float32(crit))
+                  & (n_it < jnp.int32(max_iter)))
+        accept = active & (min_chi < conval)
+        acc3 = accept[:, :, None]                      # (rb, 1, 1)
+
+        ibank_ref[:, pl.ds(ri, 1), :] = jnp.where(
+            acc3, best_rows[:, None, :], old_row)
+        ft_ref[rows_b] = jnp.where(accept, best_x, ft)
+        old_p = rset_ref[:, pl.ds(ri, 1), :]           # (rb, 1, P)
+        cand_block = jnp.sum(cand_p * oh3, axis=1)[:, None, :]
+        rset_ref[:, pl.ds(ri, 1), :] = jnp.where(acc3, cand_block, old_p)
+        fstate_ref[rows_b, 0:1] = jnp.where(accept, best_a,
+                                            fstate_ref[rows_b, 0:1])
+        fstate_ref[rows_b, 1:2] = jnp.where(accept, best_b,
+                                            fstate_ref[rows_b, 1:2])
+        fstate_ref[rows_b, 2:3] = jnp.where(accept, min_chi, conval)
+        istate_ref[rows_b, 0:1] = (n_it + jnp.int32(k_cand)
+                                   * active.astype(jnp.int32))
+        istate_ref[rows_b, 1:2] = (istate_ref[rows_b, 1:2]
+                                   + accept.astype(jnp.int32))
+
+    y_1d = engine.consts.y.reshape(1, nq)
+    u_1d = engine.consts.u.reshape(1, nq)
+    sc = jnp.asarray([engine.consts.s_u, engine.consts.s_uy], jnp.float32)
+    grid_pytree = engine.grid
+
+    # explicit int32 index maps (see build_chunk_fn: python literals
+    # promote to i64 under package-wide x64, which Mosaic cannot
+    # legalize, and spec-less arrays get SYNTHESIZED i64 maps)
+    def rep_blocked(*tail):
+        nt = len(tail)
+        return pl.BlockSpec(
+            (rb,) + tail,
+            lambda b, s: (jnp.int32(b),) + tuple(
+                jnp.int32(0) for _ in range(nt)),
+            memory_space=pltpu.VMEM)
+
+    def step_blocked(*tail):
+        nt = len(tail)
+        return pl.BlockSpec(
+            (1, rb) + tail,
+            lambda b, s: (jnp.int32(s), jnp.int32(b)) + tuple(
+                jnp.int32(0) for _ in range(nt)),
+            memory_space=pltpu.VMEM)
+
+    def full(shape, space=pltpu.VMEM):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda b, s: tuple(jnp.int32(0) for _ in range(nd)),
+            memory_space=space)
+
+    smem = pltpu.SMEM
+    pallas_fn = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, seg),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_reps, n, n_p), jnp.float32),   # rset
+            jax.ShapeDtypeStruct((n_reps, n, nq), jnp.float32),    # ibank
+            jax.ShapeDtypeStruct((n_reps, nq), jnp.float32),       # ft
+            jax.ShapeDtypeStruct((n_reps, 8), jnp.float32),        # fstate
+            jax.ShapeDtypeStruct((n_reps, 8), jnp.int32),          # istate
+        ),
+        in_specs=[
+            full((1, nq)),                           # y
+            full((1, nq)),                           # u
+            full((2,), smem),                        # sc
+            full((seg,), smem),                      # slots
+            step_blocked(k_cand, nq),                # rows (streamed)
+            step_blocked(k_cand, n_p),               # cands (streamed)
+            rep_blocked(n, n_p),                     # rset (blocked)
+            rep_blocked(n, nq),                      # ibank (blocked)
+            full((n_reps, nq)),                      # ft
+            full((n_reps, 8)),                       # fstate
+            full((n_reps, 8)),                       # istate
+        ],
+        out_specs=(
+            rep_blocked(n, n_p),
+            rep_blocked(n, nq),
+            full((n_reps, nq)),
+            full((n_reps, 8)),
+            full((n_reps, 8)),
+        ),
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4},
+        interpret=interpret,
+    )
+
+    row_eval = jax.vmap(
+        lambda p: engine._intensity_row(grid_pytree, p))
+
+    @jax.jit
+    def chunk_fn(state, ri):
+        # identical proposal stream to the XLA scan path: advance the
+        # per-rep threefry keys and pre-draw the whole segment
+        keys = jax.vmap(jax.random.split)(state.key)
+        new_key = keys[:, 0]
+        proposals = engine._draw_chunk_proposals(
+            keys[:, 1], n_steps=seg)                   # (S, R, K, P)
+        rows = row_eval(
+            proposals.reshape(seg * n_reps * k_cand, n_p)
+        ).reshape(seg, n_reps, k_cand, nq).astype(jnp.float32)
+        ri0 = ri.astype(jnp.int32)
+        slots = jnp.remainder(
+            ri0 + jnp.arange(seg, dtype=jnp.int32), jnp.int32(n))
+        fstate = jnp.concatenate(
+            [state.scale[:, None], state.background[:, None],
+             state.conval[:, None],
+             jnp.zeros((n_reps, 5), jnp.float32)], axis=1)
+        istate = jnp.concatenate(
+            [state.n_iter[:, None], state.n_moves[:, None],
+             jnp.zeros((n_reps, 6), jnp.int32)], axis=1)
+        rset, ibank, ft, fstate, istate = pallas_fn(
+            y_1d, u_1d, sc, slots, rows,
+            proposals.astype(jnp.float32),
+            state.rset, state.ibank, state.ft, fstate, istate)
+        new_state = state._replace(
+            key=new_key, rset=rset, ibank=ibank, ft=ft,
+            scale=fstate[:, 0], background=fstate[:, 1],
+            conval=fstate[:, 2],
+            n_iter=istate[:, 0], n_moves=istate[:, 1])
+        return new_state, jnp.remainder(ri0 + jnp.int32(seg),
+                                        jnp.int32(n))
 
     return chunk_fn

@@ -155,16 +155,27 @@ def build_param_table(row_fn, grids, dtype=jnp.float32, block: int = 256,
     *cache_key* memoizes the built table within the process.
     """
     grids = [np.asarray(g, np.float64) for g in grids]
+    dtype = jnp.dtype(dtype)
+
+    def _cast(t):
+        # row_fn internals can upcast under package-wide x64 (e.g. f64
+        # quadrature nodes); the table contract is the requested dtype —
+        # also normalizes stale f64 cache entries stored under f32 keys
+        if t.values.dtype != dtype:
+            t = t._replace(values=t.values.astype(dtype))
+        return t
+
     key = disk_path = None
     if cache_key is not None:
         key = (cache_key, tuple((len(g), float(g[0]), float(g[-1]))
-                                for g in grids), jnp.dtype(dtype).name)
+                                for g in grids), dtype.name)
         hit = _TABLE_CACHE.get(key)
         if hit is not None:
-            return hit
+            return _cast(hit)
         disk_path = _disk_cache_path(key)
         hit = _disk_cache_load(disk_path)
         if hit is not None:
+            hit = _cast(hit)
             _TABLE_CACHE[key] = hit
             return hit
     if grids:
@@ -185,7 +196,7 @@ def build_param_table(row_fn, grids, dtype=jnp.float32, block: int = 256,
         lg = np.log(g)
         dl = float((lg[-1] - lg[0]) / max(len(g) - 1, 1))
         axes.append((float(lg[0]), dl if dl > 0 else 1.0, len(g)))
-    table = ParamTable(values=values, axes=tuple(axes))
+    table = _cast(ParamTable(values=values, axes=tuple(axes)))
     if key is not None:
         _TABLE_CACHE[key] = table
         _disk_cache_store(disk_path, table)

@@ -168,6 +168,113 @@ def test_rep_blocked_grid(sphere_data):
     assert np.all(ratio < 30) and np.all(ratio > 1 / 30)
 
 
+def _cyl_engine(sphere_data, use_pallas, **kw):
+    base = dict(num_reps=4, num_contribs=50, convergence_criterion=2.0,
+                max_iterations=200000, chunk_steps=64,
+                candidates_per_step=8, seed=7, max_retries=0,
+                use_pallas=use_pallas)
+    base.update(kw)
+    bound = get_model("CylindersIsotropic").bind(
+        active=("radius",), active_ranges={"radius": (1e-10, 5e-8)},
+        fixed={"useAspect": 1.0, "aspect": 10.0})
+    return McSASEngine(sphere_data, bound, McSASConfig(**base))
+
+
+def test_prefetch_matches_scan_exactly(sphere_data, monkeypatch):
+    """The prefetch kernel consumes the SAME threefry proposal stream and
+    the SAME intensity_row evaluations as the XLA scan path — after equal
+    step budgets the ensembles must agree bitwise (the only difference,
+    solve reduction association, changes no accept decision here)."""
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "64")
+    ep = _cyl_engine(sphere_data, "on")
+    ex = _cyl_engine(sphere_data, "off")
+    assert ep.uses_prefetch and ep.uses_table and not ep.uses_pallas
+    assert not ex.uses_prefetch
+    from mcsas_tpu.ops import mc_kernel
+    assert mc_kernel.prefetch_seg_steps(ep) == 64  # = chunk_steps here
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    st_p = ep._init_batch(keys)
+    st_x = ex._init_batch(keys)
+    ri_p = ri_x = jnp.zeros((), jnp.int32)
+    for _ in range(2):
+        st_p, ri_p = ep._chunk_batch(st_p, ri_p)
+        st_x, ri_x = ex._chunk_batch(st_x, ri_x)
+    assert int(ri_p) == int(ri_x)
+    assert np.array_equal(np.asarray(st_p.rset), np.asarray(st_x.rset))
+    assert np.array_equal(np.asarray(st_p.n_moves),
+                          np.asarray(st_x.n_moves))
+    np.testing.assert_allclose(np.asarray(st_p.conval),
+                               np.asarray(st_x.conval), rtol=1e-5)
+    nq = ex.consts.y.shape[0]
+    np.testing.assert_allclose(np.asarray(st_p.ft)[:, :nq],
+                               np.asarray(st_x.ft), rtol=2e-4)
+    # pad lanes stay zero in the bank
+    assert np.asarray(st_p.ibank)[:, :, nq:].sum() == 0.0
+
+
+def test_prefetch_smeared_table(refdata, monkeypatch):
+    """Smeared-intensity tables ride the prefetch kernel unchanged: rows
+    are baked against the dataset's own contraction, so the kernel needs
+    no smearing math.  Exact agreement with the scan path."""
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "64")
+    from mcsas_tpu.data import DataConfig, TrapezoidSmearing
+    dc = DataConfig(smearing=TrapezoidSmearing(
+        do_smear=True, n_steps=9, umbra=0.05e9, penumbra=0.2e9))
+    d = data.load(refdata / "sasfit_sphere-10-1.dat", config=dc)
+    bound = get_model("CylindersIsotropic").bind(
+        active=("radius",), active_ranges={"radius": (1e-10, 5e-8)},
+        fixed={"useAspect": 1.0, "aspect": 10.0})
+    cfg = dict(num_reps=2, num_contribs=30, convergence_criterion=2.0,
+               max_iterations=200000, chunk_steps=32,
+               candidates_per_step=4, seed=3, max_retries=0)
+    ep = McSASEngine(d, bound, McSASConfig(use_pallas="on", **cfg))
+    ex = McSASEngine(d, bound, McSASConfig(use_pallas="off", **cfg))
+    assert ep.uses_prefetch and ep.uses_table
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+    st_p = ep._init_batch(keys)
+    st_x = ex._init_batch(keys)
+    ri = jnp.zeros((), jnp.int32)
+    st_p, ri_p = ep._chunk_batch(st_p, ri)
+    st_x, ri_x = ex._chunk_batch(st_x, ri)
+    assert int(ri_p) == int(ri_x)
+    assert np.array_equal(np.asarray(st_p.rset), np.asarray(st_x.rset))
+    assert np.asarray(st_p.n_moves).min() >= 0
+
+
+def test_prefetch_eligibility_gates(sphere_data, monkeypatch):
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "64")
+    # local moves read the slot's current value in-kernel: ineligible,
+    # and 'on' for a table model with local moves must raise
+    with pytest.raises(ValueError, match="not.*eligible"):
+        _cyl_engine(sphere_data, "on", local_moves=0.5)
+    exl = _cyl_engine(sphere_data, "auto", local_moves=0.5)
+    assert not exl.uses_prefetch and not exl.uses_pallas
+    # elementwise models take the fully fused kernel, not the prefetch
+    es = make_engine(sphere_data, "on", num_reps=2)
+    assert es.uses_pallas and not es.uses_prefetch
+
+
+def test_prefetch_rep_blocked(sphere_data, monkeypatch):
+    """Multi-block grids (rep_block < num_reps) keep per-rep state
+    independent and consistent with the scan path."""
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "64")
+    from mcsas_tpu.ops import mc_kernel
+    ep = _cyl_engine(sphere_data, "on")
+    ex = _cyl_engine(sphere_data, "off")
+    chunk = mc_kernel.build_prefetch_chunk_fn(ep, rep_block=2,
+                                              seg_steps=32)
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    st_p = ep._init_batch(keys)
+    st_x = ex._init_batch(keys)
+    ri = jnp.zeros((), jnp.int32)
+    st_p, ri_p = chunk(st_p, ri)
+    assert int(ri_p) == 32 % 50
+    # same 32 steps on the scan path: use a 32-step chunk engine
+    ex32 = _cyl_engine(sphere_data, "off", chunk_steps=32)
+    st_x, _ = ex32._chunk_batch(st_x, ri)
+    assert np.array_equal(np.asarray(st_p.rset), np.asarray(st_x.rset))
+
+
 def test_rep_block_size_divisor():
     """rep_block_size picks the largest VMEM-fitting divisor."""
     from mcsas_tpu.ops import mc_kernel
