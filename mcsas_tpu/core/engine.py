@@ -832,5 +832,6 @@ class McSASEngine:
             used_pallas=(self.uses_pallas or self.uses_prefetch
                          or getattr(self, "_pallas_shard", False)),
             used_table=self.uses_table,
-            used_prefetch=self.uses_prefetch,
+            used_prefetch=(self.uses_prefetch
+                           or getattr(self, "_prefetch_shard", False)),
         )

@@ -497,6 +497,10 @@ def prefetch_vmem_bytes(engine, n_reps=None) -> int:
     return vmem_bytes(engine, n_reps) + 2 * r * k * nq * 4
 
 
+def prefetch_fits_vmem(engine, n_reps=None) -> bool:
+    return prefetch_vmem_bytes(engine, n_reps) <= _VMEM_BUDGET
+
+
 def prefetch_rep_block(engine) -> int:
     """Largest divisor of num_reps whose prefetch-kernel state fits VMEM
     (0 when even one repetition does not fit)."""

@@ -52,18 +52,27 @@ class ShardedEnsemble(McSASEngine):
         super().__init__(data, bound, cfg)
         self.sharding = None  # parent device_put hook unused
 
-        # the fused Pallas kernel applies when the q axis is unsharded and
-        # the model is eligible: each device runs the kernel on its local
-        # repetition shard (pure data parallelism, no collectives)
+        # the Pallas kernels apply when the q axis is unsharded and the
+        # model is eligible: each device runs a kernel on its local
+        # repetition shard (pure data parallelism, no collectives).
+        # Fully fused kernel first; table-tier models with global-only
+        # proposals take the prefetched-proposal kernel instead.
         from ..ops import mc_kernel
         n_rep_axis = self.mesh.shape["rep"]
-        self._pallas_shard = (
-            cfg.use_pallas != "off" and self.mesh.shape["q"] == 1
-            and mc_kernel.supports(self) and cfg.num_reps % n_rep_axis == 0
-            and (cfg.use_pallas == "on"
-                 # the kernel grids over rep blocks, so per-device
-                 # eligibility only needs ONE rep to fit VMEM
-                 or mc_kernel.fits_vmem(self, n_reps=1)))
+        rep_layout = (cfg.use_pallas != "off"
+                      and self.mesh.shape["q"] == 1
+                      and cfg.num_reps % n_rep_axis == 0)
+        fused_ok = rep_layout and mc_kernel.supports(self) and (
+            cfg.use_pallas == "on"
+            # the kernels grid over rep blocks, so per-device
+            # eligibility only needs ONE rep to fit VMEM
+            or mc_kernel.fits_vmem(self, n_reps=1))
+        self._prefetch_shard = (rep_layout and not fused_ok
+                                and mc_kernel.supports_prefetch(self)
+                                and (cfg.use_pallas == "on"
+                                     or mc_kernel.prefetch_fits_vmem(
+                                         self, n_reps=1)))
+        self._pallas_shard = fused_ok or self._prefetch_shard
         if self._pallas_shard:
             self._pad_fit_grid(128)
 
@@ -122,12 +131,18 @@ class ShardedEnsemble(McSASEngine):
         self._init_batch = jax.jit(lambda keys: sm_init(
             keys, grid_sharded, consts_sharded))
         if self._pallas_shard:
-            # a per-shard engine clone builds the fused kernel for the
-            # local repetition count; shard_map runs it per device
+            # a per-shard engine clone builds the kernel (fused or
+            # prefetch) for the local repetition count; shard_map runs it
+            # per device.  Pin the table decision to the parent's: the
+            # auto gate thresholds on the TOTAL proposal budget, which
+            # the smaller local rep count would misjudge.
             local = McSASEngine(
                 data, bound,
                 self.cfg.replace(num_reps=self.cfg.num_reps // n_rep_axis,
-                                 use_pallas="on"))
+                                 use_pallas="on",
+                                 table_ff="on" if self.uses_table
+                                 else "off"))
+            assert local.uses_prefetch == self._prefetch_shard
             local_chunk = local._chunk_batch
 
             sm_pallas = jax.shard_map(

@@ -113,6 +113,29 @@ def test_pallas_rep_sharding(setup, cpus):
     assert res.contribs.max() <= hi * (1 + 1e-6)
 
 
+def test_prefetch_rep_sharding(refdata, cpus, monkeypatch):
+    """Table-tier models keep the prefetched-proposal kernel on
+    rep-sharded meshes (interpret mode on CPU): same proposal stream as
+    the unsharded XLA table path, so contributions match bitwise."""
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "64")
+    d = data.load(refdata / "sasfit_sphere-10-1.dat")
+    bound = get_model("CylindersIsotropic").bind(
+        active=("radius",), active_ranges={"radius": (1e-10, 5e-8)},
+        fixed={"useAspect": 1.0, "aspect": 10.0})
+    cfg = McSASConfig(num_reps=4, num_contribs=30,
+                      convergence_criterion=2.0, max_iterations=3000,
+                      chunk_steps=64, candidates_per_step=4, seed=7,
+                      max_retries=0, table_ff="on")
+    se = ShardedEnsemble(d, bound, cfg.replace(use_pallas="on"),
+                         mesh=make_mesh((4, 1), cpus))
+    assert se._prefetch_shard and se._pallas_shard and se.uses_table
+    res = se.run()
+    base = McSASEngine(d, bound, cfg.replace(use_pallas="off")).run()
+    np.testing.assert_array_equal(res.contribs, base.contribs)
+    np.testing.assert_allclose(res.conval, base.conval, rtol=1e-5)
+    assert res.used_prefetch and res.used_table
+
+
 slow = pytest.mark.skipif(
     __import__("os").environ.get("MCSAS_TPU_SLOW_TESTS", "") != "1",
     reason="set MCSAS_TPU_SLOW_TESTS=1 for the 16-device dryrun")
