@@ -485,8 +485,9 @@ class McSASEngine:
                 and mc_kernel.rep_block_size(self) > 0)
 
     def _prefetch_eligible(self) -> bool:
-        """Prefetched-proposal kernel (table-tier models, global-only
-        proposals): second choice after the fully fused kernel."""
+        """Prefetched-proposal kernel (table-tier models, local moves
+        included — see mc_kernel.supports_prefetch for the distinct-slot
+        segment argument): second choice after the fully fused kernel."""
         mode = getattr(self.cfg, "use_pallas", "off")
         if (mode == "off" or self.uses_pallas
                 or type(self) is not McSASEngine):

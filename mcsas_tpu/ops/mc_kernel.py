@@ -467,12 +467,15 @@ def supports_prefetch(engine) -> bool:
     """True when the prefetched-proposal kernel can run this engine.
 
     Requires the param-table tier (quadrature models prefetching raw
-    quadrature would re-inflate compile times) and a purely global
-    proposal stream: local moves perturb the slot's CURRENT value, which
-    only exists in-kernel."""
+    quadrature would re-inflate compile times).  Local moves — which
+    perturb the slot's CURRENT value — are supported too: a segment of
+    ``seg <= num_contribs`` steps visits strictly distinct slots (the
+    cursor cycles 0..N-1), so every slot's current value at its step
+    equals its segment-start value and the whole local proposal stream
+    is computable in XLA from the resident ``rset`` before the launch
+    (``prefetch_seg_steps`` enforces the cap)."""
     cfg = engine.cfg
     if not (getattr(engine, "uses_table", False)
-            and engine._k_local() == 0
             and jnp.dtype(cfg.dtype) == jnp.float32
             and engine.bound.n_active >= 1):
         return False
@@ -513,12 +516,18 @@ def prefetch_rep_block(engine) -> int:
 
 def prefetch_seg_steps(engine) -> int:
     """Steps per prefetch segment: bounded by the HBM budget for the
-    (S, R, K, nq) row bank and by the configured chunk size."""
+    (S, R, K, nq) row bank and by the configured chunk size.  With local
+    moves the segment is additionally capped at ``num_contribs`` so the
+    slots visited within one segment are strictly distinct — the
+    precondition for precomputing local proposals from the segment-start
+    ``rset`` (see supports_prefetch)."""
     cfg = engine.cfg
     nq = pad_lanes(int(engine.consts.y.shape[0]))
     per_step = int(cfg.num_reps) * int(cfg.candidates_per_step) * nq * 4
-    return max(1, min(int(cfg.chunk_steps),
-                      _PREFETCH_HBM_BUDGET // max(per_step, 1)))
+    cap = int(cfg.chunk_steps)
+    if engine._k_local():
+        cap = min(cap, int(cfg.num_contribs))
+    return max(1, min(cap, _PREFETCH_HBM_BUDGET // max(per_step, 1)))
 
 
 def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
@@ -688,6 +697,13 @@ def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
 
     row_eval = jax.vmap(
         lambda p: engine._intensity_row(grid_pytree, p))
+    k_local = engine._k_local()
+    k_global = k_cand - k_local
+    if k_local:
+        assert seg <= n, "local moves need distinct slots per segment"
+        lo_p = jnp.asarray([r[0] for r in bound.ranges], engine.dtype)
+        hi_p = jnp.asarray([r[1] for r in bound.ranges], engine.dtype)
+        local_scale = cfg.local_scale
 
     @jax.jit
     def chunk_fn(state, ri):
@@ -697,12 +713,25 @@ def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
         new_key = keys[:, 0]
         proposals = engine._draw_chunk_proposals(
             keys[:, 1], n_steps=seg)                   # (S, R, K, P)
-        rows = row_eval(
-            proposals.reshape(seg * n_reps * k_cand, n_p)
-        ).reshape(seg, n_reps, k_cand, nq).astype(jnp.float32)
         ri0 = ri.astype(jnp.int32)
         slots = jnp.remainder(
             ri0 + jnp.arange(seg, dtype=jnp.int32), jnp.int32(n))
+        if k_local:
+            # slots are strictly distinct within the segment (seg <= n),
+            # so each slot's current value at its step IS its
+            # segment-start value: the local columns (unit uniforms from
+            # _draw_chunk_proposals) transform here exactly as the scan
+            # path's _step does — bitwise-identical stream
+            cur = jnp.swapaxes(jnp.take(state.rset, slots, axis=1),
+                               0, 1)                   # (S, R, P)
+            factor = jnp.exp(
+                (2.0 * proposals[:, :, k_global:, :] - 1.0) * local_scale)
+            local_c = jnp.clip(cur[:, :, None, :] * factor, lo_p, hi_p)
+            proposals = jnp.concatenate(
+                [proposals[:, :, :k_global, :], local_c], axis=2)
+        rows = row_eval(
+            proposals.reshape(seg * n_reps * k_cand, n_p)
+        ).reshape(seg, n_reps, k_cand, nq).astype(jnp.float32)
         fstate = jnp.concatenate(
             [state.scale[:, None], state.background[:, None],
              state.conval[:, None],

@@ -55,8 +55,8 @@ class ShardedEnsemble(McSASEngine):
         # the Pallas kernels apply when the q axis is unsharded and the
         # model is eligible: each device runs a kernel on its local
         # repetition shard (pure data parallelism, no collectives).
-        # Fully fused kernel first; table-tier models with global-only
-        # proposals take the prefetched-proposal kernel instead.
+        # Fully fused kernel first; table-tier models take the
+        # prefetched-proposal kernel instead (local moves included).
         from ..ops import mc_kernel
         n_rep_axis = self.mesh.shape["rep"]
         rep_layout = (cfg.use_pallas != "off"

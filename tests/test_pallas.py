@@ -241,14 +241,40 @@ def test_prefetch_smeared_table(refdata, monkeypatch):
     assert np.asarray(st_p.n_moves).min() >= 0
 
 
+def test_prefetch_local_moves_match_scan(sphere_data, monkeypatch):
+    """Local moves ride the prefetch kernel: a segment visits strictly
+    distinct slots (seg <= num_contribs), so every local proposal is
+    computable from the segment-start rset — the stream stays
+    bitwise-identical to the XLA scan path."""
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "64")
+    from mcsas_tpu.ops import mc_kernel
+    # chunk_steps=64 > num_contribs=50: the segment cap must bind
+    ep = _cyl_engine(sphere_data, "on", local_moves=0.5)
+    ex = _cyl_engine(sphere_data, "off", local_moves=0.5)
+    assert ep.uses_prefetch and ep.uses_table and not ep.uses_pallas
+    assert mc_kernel.prefetch_seg_steps(ep) == 50  # = num_contribs
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    st_p = ep._init_batch(keys)
+    st_x = ex._init_batch(keys)
+    ri_p = ri_x = jnp.zeros((), jnp.int32)
+    # key-stream alignment: each prefetch segment splits the rep key once
+    # and draws seg=50 steps, so the scan side must chunk at 50 too
+    ex50 = _cyl_engine(sphere_data, "off", local_moves=0.5,
+                       chunk_steps=50)
+    for _ in range(3):
+        st_p, ri_p = ep._chunk_batch(st_p, ri_p)
+        st_x, ri_x = ex50._chunk_batch(st_x, ri_x)
+    assert int(ri_p) == int(ri_x)
+    assert np.array_equal(np.asarray(st_p.rset), np.asarray(st_x.rset))
+    assert np.array_equal(np.asarray(st_p.n_moves),
+                          np.asarray(st_x.n_moves))
+    assert np.asarray(st_p.n_moves).min() > 0
+    np.testing.assert_allclose(np.asarray(st_p.conval),
+                               np.asarray(st_x.conval), rtol=1e-5)
+
+
 def test_prefetch_eligibility_gates(sphere_data, monkeypatch):
     monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "64")
-    # local moves read the slot's current value in-kernel: ineligible,
-    # and 'on' for a table model with local moves must raise
-    with pytest.raises(ValueError, match="not.*eligible"):
-        _cyl_engine(sphere_data, "on", local_moves=0.5)
-    exl = _cyl_engine(sphere_data, "auto", local_moves=0.5)
-    assert not exl.uses_prefetch and not exl.uses_pallas
     # elementwise models take the fully fused kernel, not the prefetch
     es = make_engine(sphere_data, "on", num_reps=2)
     assert es.uses_pallas and not es.uses_prefetch
