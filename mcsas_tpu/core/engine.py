@@ -259,21 +259,31 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
 
     def intensity_row(grid, pvec):
         w = weight_norm(pvec) * inv_i_ref
+        # normalize at AMPLITUDE level, i.e. (ffv·√w)² rather than
+        # ffv²·w: raw |ff|² alone can underflow float32 (and 1/i_ref
+        # alone overflow it — e.g. the dimensionless tilted cylinder on
+        # an SI q grid: ffv ~ 1e-21, 1/i_ref ~ 1e41), while the
+        # amplitude-scaled product is O(1) by construction of the probe
+        s = jnp.sqrt(w)
         if used_table:
             gq, tvals = grid
             ffv = table_fn(gq, tvals, bound.pdict(pvec))
-            row = ffv * w if table_is_intensity else ffv * ffv * w
+            if table_is_intensity:
+                row = ffv * w
+            else:
+                fs = ffv * s
+                row = fs * fs
         elif two_d:
-            ffv = bound.model.ff2d(grid[:, 0], grid[:, 1],
-                                   bound.pdict(pvec))
-            row = ffv * ffv * w
+            fs = bound.model.ff2d(grid[:, 0], grid[:, 1],
+                                  bound.pdict(pvec)) * s
+            row = fs * fs
         elif smearing:
             locs, sw = grid
-            ffv = model_ff(locs, bound.pdict(pvec))
-            row = (ffv * ffv) @ sw * w
+            fs = model_ff(locs, bound.pdict(pvec)) * s
+            row = (fs * fs) @ sw
         else:
-            ffv = model_ff(grid, bound.pdict(pvec))
-            row = ffv * ffv * w
+            fs = model_ff(grid, bound.pdict(pvec)) * s
+            row = fs * fs
         return jnp.minimum(row, row_clamp)
 
     return (intensity_row, full_grid, v_ref ** (2.0 * comp_exp) * i_ref,
@@ -314,6 +324,20 @@ class McSASEngine:
              bound, data, cfg, self.dtype,
              allow_table=getattr(self, "_allow_table",
                                  type(self)._allow_table))
+
+        # dtype-preservation guard (abstract eval — free): a float64
+        # numpy scalar leaking out of a model kernel or table lookup
+        # would silently upcast the whole MC hot loop under x64 (2× HBM,
+        # and the Pallas kernels' io-alias check rejects the state)
+        row_t = jax.eval_shape(
+            self._intensity_row, self.grid,
+            jax.ShapeDtypeStruct((bound.n_active,), self.dtype))
+        if row_t.dtype != self.dtype:
+            raise TypeError(
+                f"{bound.model.name}: intensity row is {row_t.dtype} for "
+                f"a {self.dtype} engine — a kernel constant is promoting "
+                "the hot-loop dtype (cast model/table constants to the "
+                "argument dtype)")
 
         self.uses_pallas = self._pallas_eligible()
         self.uses_prefetch = self._prefetch_eligible()
@@ -447,18 +471,41 @@ class McSASEngine:
             # first attempt fused with initialization: seed → keys →
             # init + whole-attempt while_loop in ONE device launch (each
             # pre-launch host op — PRNGKey, split, the cursor zeros —
-            # costs a ~4 ms dispatch RTT on the remote link)
-            def init_drive(seed, grid, consts):
+            # costs a ~4 ms dispatch RTT on the remote link).
+            #
+            # EXCEPT for the Pallas paths: compiling the XLA init
+            # computation into the same executable as the aliased Pallas
+            # chunk garbles the state the FIRST kernel iteration reads
+            # on real TPU (most reps see a corrupt ibank, accept nothing
+            # for a while, and silently need ~2x the iterations to
+            # converge; interpret mode and argument-passed state are
+            # exact — the hazard is specific to in-program producers
+            # feeding pallas_call operands with input_output_aliases).
+            # Init therefore stays its OWN launch there: one extra RTT
+            # (~4 ms) against a 2x MC-segment saving.
+            def init_state(seed, grid, consts):
                 keys = jax.random.split(
                     jax.random.PRNGKey(seed), cfg.num_reps)
-                state = jax.vmap(
+                return jax.vmap(
                     lambda k: self._init_rep(k, grid, consts))(keys)
-                return drive(state, jnp.zeros((), jnp.int32), grid,
-                             consts)
 
-            _init_drive = jax.jit(init_drive)
-            self._init_drive = lambda seed: _init_drive(
-                seed, self.grid, self.consts)
+            if self.uses_pallas or self.uses_prefetch:
+                _init_seed = jax.jit(init_state)
+
+                def _init_then_drive(seed):
+                    state = _init_seed(seed, self.grid, self.consts)
+                    return _drive(state, jnp.zeros((), jnp.int32),
+                                  self.grid, self.consts)
+
+                self._init_drive = _init_then_drive
+            else:
+                def init_drive(seed, grid, consts):
+                    return drive(init_state(seed, grid, consts),
+                                 jnp.zeros((), jnp.int32), grid, consts)
+
+                _init_drive = jax.jit(init_drive)
+                self._init_drive = lambda seed: _init_drive(
+                    seed, self.grid, self.consts)
         else:
             self._init_drive = None
 

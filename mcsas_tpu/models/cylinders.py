@@ -49,7 +49,8 @@ def _cyl_iso_ff_ab(a, b, n, dtype):
     """The orientation average as a pure function of the scale invariants
     a = qR, b = qL (elementwise in a, b; quadrature on the last axis)."""
     x, step = np.linspace(0.0, 1.0, n, retstep=True)
-    x = jnp.asarray(x[1:-1], dtype=dtype)             # interior points
+    step = float(step)       # weak type: a float64 numpy scalar would
+    x = jnp.asarray(x[1:-1], dtype=dtype)  # promote the f32 hot loop
     a = jnp.asarray(a, dtype)
     b = jnp.asarray(b, dtype)
     qr_sqrtx = a[..., None] * jnp.sqrt(1.0 - x * x)

@@ -68,6 +68,10 @@ _J1_THETA = np.array([
 
 
 def _poly(coeffs, t):
+    if isinstance(coeffs, np.ndarray):
+        # float64 numpy scalars are NOT weak types: with x64 enabled they
+        # would silently promote a float32 hot-loop argument to float64
+        coeffs = coeffs.astype(t.dtype)
     acc = jnp.zeros_like(t) + coeffs[-1]
     for c in coeffs[-2::-1]:
         acc = acc * t + c

@@ -356,7 +356,12 @@ def test_float32_consistency():
             # reduction is meaningless for ANY implementation)
             p["radius"], p["aspect"] = 2e-9, 10.0
         f64 = ff64(m, Q, p)
-        f32 = np.asarray(jax.jit(lambda qq: m.ff(qq, p))(q32))
+        out = jax.jit(lambda qq: m.ff(qq, p))(q32)
+        # dtype preservation, not just accuracy: a float64 numpy scalar
+        # leaking into a kernel silently upcasts the whole MC hot loop
+        # under x64 (and crashes the prefetch kernel's io-alias check)
+        assert out.dtype == np.float32, f"{name}: f32 in, {out.dtype} out"
+        f32 = np.asarray(out)
         scale = np.abs(f64).max()
         np.testing.assert_allclose(f32 / scale, f64 / scale,
                                    atol=atols.get(name, 2e-4),

@@ -131,8 +131,11 @@ def test_prefetch_rep_sharding(refdata, cpus, monkeypatch):
     assert se._prefetch_shard and se._pallas_shard and se.uses_table
     res = se.run()
     base = McSASEngine(d, bound, cfg.replace(use_pallas="off")).run()
-    np.testing.assert_array_equal(res.contribs, base.contribs)
-    np.testing.assert_allclose(res.conval, base.conval, rtol=1e-5)
+    # same proposal stream, but the prefetch solve's reduction
+    # association differs from the scan solve — a chisqr tie on a
+    # rounding boundary can legitimately flip one accept and cascade
+    # within a repetition, so use the documented aggregate fallback
+    assert_contribs_match(res, base)
     assert res.used_prefetch and res.used_table
 
 

@@ -91,3 +91,42 @@ def test_hw_kernel_descends_and_matches_xla(refdata, on_tpu):
     # fitted curves agree where the data constrains them
     rel = np.abs(r_pal.measval.mean(0) / r_xla.measval.mean(0) - 1.0)
     assert np.median(rel) < 0.05
+
+
+@slow
+def test_init_drive_matches_manual_chunks(refdata, on_tpu):
+    """run()'s first-attempt launch sequence must reproduce the manual
+    init+chunk trajectory EXACTLY on the real chip.
+
+    Regression for a TPU-compile hazard: fusing the XLA init computation
+    into the same executable as a pallas_call whose operands carry
+    input_output_aliases garbled the state the first kernel iteration
+    read — most reps accepted nothing for thousands of steps and the MC
+    silently needed ~2x the iterations (engine.py keeps init in its own
+    launch on the Pallas paths for exactly this reason)."""
+    import jax.numpy as jnp
+    d = data.load(refdata / "sasfit_sphere-10-1.dat")
+    bound = get_model("CylindersIsotropic").bind(
+        active_ranges={"radius": (1e-9, 50e-9)})
+    cfg = McSASConfig(num_contribs=100, num_reps=4,
+                      max_iterations=400_000, chunk_steps=64,
+                      candidates_per_step=16, seed=31, max_retries=1,
+                      local_moves=0.5, show_incomplete=True,
+                      use_pallas="on", table_ff="on")
+    eng = McSASEngine(d, bound, cfg)
+    assert eng.uses_prefetch
+    state, ri, _ = eng._init_drive(cfg.seed)
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), cfg.num_reps)
+    st = eng._init_batch(keys)
+    rj = jnp.zeros((), jnp.int32)
+    crit = cfg.convergence_criterion
+    for _ in range(10_000):
+        conval = np.asarray(st.conval)
+        n_iter = np.asarray(st.n_iter)
+        if not np.any((conval > crit) & (n_iter < cfg.max_iterations)):
+            break
+        st, rj = eng._chunk_batch(st, rj)
+    assert np.array_equal(np.asarray(state.n_iter), np.asarray(st.n_iter))
+    assert np.array_equal(np.asarray(state.n_moves),
+                          np.asarray(st.n_moves))
+    assert np.array_equal(np.asarray(state.rset), np.asarray(st.rset))
