@@ -366,3 +366,20 @@ def test_float32_consistency():
         np.testing.assert_allclose(f32 / scale, f64 / scale,
                                    atol=atols.get(name, 2e-4),
                                    err_msg=name)
+
+
+def test_special_functions_preserve_dtype():
+    """Every special-function building block must return its argument
+    dtype: float64 numpy scalar constants are NOT weak types under x64
+    and would silently upcast the f32 MC hot loop (regression for the
+    bessel_j1 _poly coefficients)."""
+    import jax.numpy as jnp
+    from mcsas_tpu.ops import special
+    x32 = jnp.asarray(np.linspace(0.01, 40.0, 64), jnp.float32)
+    for fn in (special.sphere_ff, special.j1sph_over_x, special.sinc_sin,
+               special.bessel_j1, special.j1_over_x,
+               special.sine_integral):
+        assert fn(x32).dtype == jnp.float32, fn.__name__
+        assert fn(x32.astype(jnp.float64)).dtype == jnp.float64, \
+            fn.__name__
+    assert special.py_G_over_A(x32, 1.0, 2.0, 3.0).dtype == jnp.float32

@@ -321,3 +321,40 @@ def test_rep_block_size_divisor():
     rb = mc_kernel.rep_block_size(_Eng())
     assert rb > 0 and 12 % rb == 0
     assert mc_kernel.fits_vmem(_Eng(), n_reps=rb)
+
+
+def test_prefetch_kholodenko_partial_table(refdata, monkeypatch):
+    """Kholodenko's PARTIAL table (backbone tabulated, exact q-axis
+    cross-section applied in the lookup) rides the prefetch kernel with
+    local moves: stream stays bitwise-identical to the scan path at
+    seg-aligned chunking."""
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "32")
+    from mcsas_tpu import data as mtdata
+    from mcsas_tpu.ops import mc_kernel
+    d = mtdata.load(refdata / "sasfit_kho-1-10-1000.dat")
+    bound = get_model("Kholodenko").bind()
+
+    def eng(mode, chunk):
+        return McSASEngine(d, bound, McSASConfig(
+            num_reps=2, num_contribs=40, convergence_criterion=2.0,
+            max_iterations=100000, chunk_steps=chunk,
+            candidates_per_step=4, seed=5, max_retries=0,
+            local_moves=0.5, use_pallas=mode, table_ff="on"))
+
+    ep = eng("on", 64)
+    assert ep.uses_prefetch and ep.uses_table and not ep.uses_pallas
+    seg = mc_kernel.prefetch_seg_steps(ep)
+    assert seg == 40  # local moves cap the segment at num_contribs
+    ex = eng("off", seg)
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
+    st_p = ep._init_batch(keys)
+    st_x = ex._init_batch(keys)
+    ri_p = ri_x = jnp.zeros((), jnp.int32)
+    for _ in range(3):
+        st_p, ri_p = ep._chunk_batch(st_p, ri_p)
+        st_x, ri_x = ex._chunk_batch(st_x, ri_x)
+    assert int(ri_p) == int(ri_x)
+    assert np.array_equal(np.asarray(st_p.rset), np.asarray(st_x.rset))
+    assert np.array_equal(np.asarray(st_p.n_moves),
+                          np.asarray(st_x.n_moves))
+    assert np.asarray(st_p.n_moves).min() > 0
