@@ -145,7 +145,8 @@ def magnitude_probe(bound: BoundModel, probe_grid, two_d_psi=None):
 
 
 def make_intensity_kernels(bound: BoundModel, data: SASData,
-                           cfg: McSASConfig, dtype, allow_table=True):
+                           cfg: McSASConfig, dtype, allow_table=True,
+                           table_grid_width_only=False):
     """Builds the intensity-row kernel for the fit grid.
 
     intensity_row(grid, pvec) -> (Nq,): F²·(w/w_ref)/i_ref, optionally
@@ -153,6 +154,13 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
     src/mcsas/bases/model/sasmodel.py:46-79).  The grid is an explicit
     argument so a shard_map caller can pass the q-axis shard local to each
     device.
+
+    *table_grid_width_only* accepts only tables whose rows live on the
+    fit grid itself (one value column per q point) — the layout a
+    q-axis shard can column-slice.  Tables on a different inner grid
+    (Kholodenko's smeared flattened-locs rows, contracted inside the
+    lookup) are rejected and the engine falls back to the quadrature
+    kernel.
     """
     comp_exp = cfg.compensation_exponent
     v_ref = bound.reference_volume()
@@ -233,11 +241,20 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
                 table_is_intensity = kind == "intensity"
             else:
                 table_fn, table_values = table_ret
-            used_table = True
-            # smeared tables keep (locs, smear_w) as the inner grid so a
-            # partially-tabulated lookup (e.g. Kholodenko's exact q-axis
-            # cross-section factor) can finish the contraction in-kernel
-            full_grid = (full_grid, jnp.asarray(table_values))
+            if (table_grid_width_only
+                    and int(np.asarray(table_values).shape[1])
+                    != int(np.asarray(data.q).shape[0])):
+                # rows not on the fit grid: a q shard cannot
+                # column-slice them — quadrature kernel instead
+                table_fn = None
+                table_is_intensity = False
+            else:
+                used_table = True
+                # smeared tables keep (locs, smear_w) as the inner grid
+                # so a partially-tabulated lookup (e.g. Kholodenko's
+                # exact q-axis cross-section factor) can finish the
+                # contraction in-kernel
+                full_grid = (full_grid, jnp.asarray(table_values))
 
     # float32 overflow guard: candidate rows at extreme range corners can
     # reach (v/v_ref)^(2c)·(ff/ff_ref)² ≈ 1e20, and the solve's Σu·x²
@@ -323,7 +340,9 @@ class McSASEngine:
          self.uses_table) = make_intensity_kernels(
              bound, data, cfg, self.dtype,
              allow_table=getattr(self, "_allow_table",
-                                 type(self)._allow_table))
+                                 type(self)._allow_table),
+             table_grid_width_only=getattr(
+                 self, "_table_grid_width_only", False))
 
         # dtype-preservation guard (abstract eval — free): a float64
         # numpy scalar leaking out of a model kernel or table lookup

@@ -34,18 +34,20 @@ def _state_specs() -> RepState:
 class ShardedEnsemble(McSASEngine):
     """McSASEngine whose ensemble runs SPMD over a device mesh."""
 
-    # ParamTable rows are baked against the unsharded fit grid; under
-    # q-axis sharding each device sees a grid shard, so the table tier
-    # is disabled there (the exact/ff_fast kernels shard naturally).
-    # Rep-only meshes (pure data parallelism — the multi-chip scale-out
-    # layout) keep the grid whole, so they keep the table tier: the
-    # baked values simply replicate across devices.
-    _allow_table = False
+    # ParamTable rows are baked ONCE against the full (unsharded) fit
+    # grid.  Values are one column per q point, so under q-axis sharding
+    # each device simply takes its column shard — the row blend is
+    # elementwise in q.  The only exclusion is tables whose rows are NOT
+    # on the fit grid (Kholodenko's smeared flattened-locs layout,
+    # contracted inside the lookup): a q shard cannot column-slice
+    # those, so such models fall back to the quadrature kernel
+    # (``table_grid_width_only`` in make_intensity_kernels).
+    _allow_table = True
 
     def __init__(self, data: SASData, bound: BoundModel, cfg: McSASConfig,
                  mesh=None, mesh_shape=None):
         self.mesh = mesh if mesh is not None else make_mesh(mesh_shape)
-        self._allow_table = self.mesh.shape["q"] == 1
+        self._table_grid_width_only = self.mesh.shape["q"] > 1
         self._orig_reps = cfg.num_reps
         cfg = cfg.replace(num_reps=pad_reps_for_mesh(cfg.num_reps,
                                                      self.mesh))
@@ -83,12 +85,13 @@ class ShardedEnsemble(McSASEngine):
         mesh = self.mesh
         specs = _state_specs()
         if self.uses_table:
-            # (inner grid, baked table values): values replicate — the
-            # table tier only engages on rep-only meshes (q axis 1)
+            # (inner grid, baked table values): values are one column
+            # per q point and shard along q with the grid (replicating
+            # trivially on rep-only meshes)
             inner = self.grid[0]
             inner_spec = ((P("q", None), P()) if isinstance(inner, tuple)
                           else P("q"))
-            grid_spec = (inner_spec, P())
+            grid_spec = (inner_spec, P(None, "q"))
         elif isinstance(self.grid, tuple):
             # smearing: (locs (Nq, nSteps) sharded along q, contraction
             # vector replicated)

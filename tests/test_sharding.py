@@ -205,9 +205,11 @@ def test_rep_sharded_table_matches_vmap(refdata, cpus, monkeypatch):
     assert se.uses_table                # rep-only mesh keeps the tier
     res = se.run()
     np.testing.assert_array_equal(res.contribs, base_res.contribs)
-    # q-sharded meshes still fall back to the exact/ff_fast kernels
+    # q-sharded meshes keep the tier too: values are one column per q
+    # point and column-slice with the grid (test_q_sharded_table_tier
+    # asserts the contribution match)
     se_q = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((2, 2), cpus))
-    assert not se_q.uses_table
+    assert se_q.uses_table
 
 
 def test_rep_sharded_smeared_table(cpus, monkeypatch):
@@ -241,3 +243,52 @@ def test_full_q_mesh(setup, baseline, cpus):
     res = se.run()
     assert np.all(np.isfinite(res.conval))
     assert res.contribs.shape == (2, 30, 1)
+
+
+def test_q_sharded_table_tier(refdata, cpus, monkeypatch):
+    """The param-table tier survives q-axis sharding: values are one
+    column per q point, so each device column-slices the SAME bake —
+    contributions match the unsharded table engine (identical stream,
+    f64-psum'd solve)."""
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "64")
+    d = data.load(refdata / "sasfit_sphere-10-1.dat")
+    bound = get_model("CylindersIsotropic").bind(
+        active=("radius",), active_ranges={"radius": (1e-10, 5e-8)},
+        fixed={"useAspect": 1.0, "aspect": 10.0})
+    cfg = McSASConfig(num_reps=4, num_contribs=30,
+                      convergence_criterion=2.0, max_iterations=3000,
+                      chunk_steps=64, candidates_per_step=4, seed=7,
+                      max_retries=0, table_ff="on", use_pallas="off")
+    se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((2, 4), cpus))
+    assert se.uses_table and not se._pallas_shard
+    res = se.run()
+    base = McSASEngine(d, bound, cfg).run()
+    assert base.used_table
+    assert_contribs_match(res, base)
+    assert res.used_table
+
+
+def test_q_sharded_flattened_locs_table_falls_back(refdata, cpus,
+                                                   monkeypatch):
+    """Kholodenko's smeared table lives on a flattened (Nq x n_off) locs
+    grid that a q shard cannot column-slice: the sharded engine must
+    fall back to the quadrature kernel, not crash or mis-slice."""
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "16")
+    from mcsas_tpu.data import DataConfig, TrapezoidSmearing, from_raw
+    raw, _ = __import__("mcsas_tpu.io", fromlist=["load_raw"]).load_raw(
+        refdata / "sasfit_kho-1-10-1000.dat")
+    sm = TrapezoidSmearing(do_smear=True, n_steps=5, umbra=0.05e9,
+                           penumbra=0.2e9)
+    d = from_raw(raw[::12], config=DataConfig(n_bin=0, smearing=sm))
+    assert d.uses_smearing
+    bound = get_model("Kholodenko").bind()
+    cfg = McSASConfig(num_reps=2, num_contribs=10,
+                      convergence_criterion=2.0, max_iterations=200,
+                      chunk_steps=20, candidates_per_step=2, seed=3,
+                      max_retries=0, table_ff="on", use_pallas="off")
+    un = McSASEngine(d, bound, cfg)
+    assert un.uses_table          # unsharded keeps the flattened table
+    se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((2, 4), cpus))
+    assert not se.uses_table      # sharded falls back to quadrature
+    res = se.run()
+    assert np.all(np.isfinite(res.conval))
