@@ -510,11 +510,13 @@ class McSASEngine:
 
             if self.uses_pallas or self.uses_prefetch:
                 _init_seed = jax.jit(init_state)
+                # hoisted: an eager zeros() per run costs a ~4 ms
+                # dispatch RTT on the remote link
+                _ri0 = jnp.zeros((), jnp.int32)
 
                 def _init_then_drive(seed):
                     state = _init_seed(seed, self.grid, self.consts)
-                    return _drive(state, jnp.zeros((), jnp.int32),
-                                  self.grid, self.consts)
+                    return _drive(state, _ri0, self.grid, self.consts)
 
                 self._init_drive = _init_then_drive
             else:
