@@ -254,3 +254,32 @@ def test_config_validation():
         McSASConfig(num_contribs=0)
     with pytest.raises(ValueError):
         McSASConfig(candidates_per_step=0)
+
+
+def test_fit_with_mesh_full_pipeline(refdata):
+    """fit(mesh=...) runs the COMPLETE pipeline (sharded MC + f64 post
+    + histograms) and reproduces the unsharded contributions (XLA path:
+    identical threefry stream, f64-psum'd solve)."""
+    import jax
+    from mcsas_tpu.parallel import make_mesh
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual cpu devices")
+    cfg = McSASConfig(num_contribs=24, num_reps=4, max_iterations=3000,
+                      chunk_steps=500, seed=9, max_retries=0,
+                      candidates_per_step=4, use_pallas="off",
+                      show_incomplete=True)
+    path = refdata / "sasfit_sphere-10-1.dat"
+    res_m = mt.fit(path, model="Sphere", cfg=cfg,
+                   mesh=make_mesh((4, 2), devs))
+    res_u = mt.fit(path, model="Sphere", cfg=cfg)
+    assert res_m.contribs.shape == (24, 1, 4)
+    assert len(res_m.histograms) == 1
+    assert np.all(np.isfinite(res_m.fit_measval_mean))
+    # engine-layout contribs: (R, N, P) on both sides
+    a = np.asarray(res_m.engine.contribs)
+    b = np.asarray(res_u.engine.contribs)
+    rep_eq = np.array([np.array_equal(x, y) for x, y in zip(a, b)])
+    assert rep_eq.sum() >= len(rep_eq) - 1     # tie-cascade tolerance
+    np.testing.assert_allclose(np.sort(res_m.engine.conval),
+                               np.sort(res_u.engine.conval), rtol=2e-2)
