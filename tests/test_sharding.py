@@ -292,3 +292,24 @@ def test_q_sharded_flattened_locs_table_falls_back(refdata, cpus,
     assert not se.uses_table      # sharded falls back to quadrature
     res = se.run()
     assert np.all(np.isfinite(res.conval))
+
+
+def test_q_sharded_partial_table_kholodenko(refdata, cpus, monkeypatch):
+    """Kholodenko's UNSMEARED table is partial (backbone tabulated, the
+    exact q-axis cross-section applied in the lookup): its values are
+    still one column per q point, so it q-shards — the lookup's exact
+    factor uses the local q shard consistently with the value columns."""
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "32")
+    d = data.load(refdata / "sasfit_kho-1-10-1000.dat")
+    bound = get_model("Kholodenko").bind()
+    cfg = McSASConfig(num_reps=2, num_contribs=16,
+                      convergence_criterion=2.0, max_iterations=1500,
+                      chunk_steps=100, candidates_per_step=2, seed=11,
+                      max_retries=0, table_ff="on", use_pallas="off",
+                      show_incomplete=True)
+    se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((2, 4), cpus))
+    assert se.uses_table
+    res = se.run()
+    base = McSASEngine(d, bound, cfg).run()
+    assert base.used_table
+    assert_contribs_match(res, base)
