@@ -197,7 +197,7 @@ _ENGINE_CACHE_CAP = 8
 
 
 def _cached_engine(engine_cls, data: SASData, bound: BoundModel,
-                   cfg: McSASConfig):
+                   cfg: McSASConfig, **eng_kw):
     try:
         # construction-environment inputs that shape the traced engine
         # (a table baked under MCSAS_TPU_TABLE_RES_CAP, or a different
@@ -205,13 +205,14 @@ def _cached_engine(engine_cls, data: SASData, bound: BoundModel,
         # silently reused after the environment changes
         env = (os.environ.get("MCSAS_TPU_TABLE_RES_CAP", ""),
                str(McSASEngine._compute_device()))
-        key = (engine_cls, data.content_key(), bound, cfg, env)
-        hash(key)
-    except (TypeError, RuntimeError):   # unhashable custom model piece
-        return engine_cls(data, bound, cfg)
+        key = (engine_cls, data.content_key(), bound, cfg, env,
+               tuple(sorted(eng_kw.items())))
+        hash(key)    # Mesh is hashable; a custom model piece may not be
+    except (TypeError, RuntimeError):
+        return engine_cls(data, bound, cfg, **eng_kw)
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
-        eng = engine_cls(data, bound, cfg)
+        eng = engine_cls(data, bound, cfg, **eng_kw)
         if len(_ENGINE_CACHE) >= _ENGINE_CACHE_CAP:
             _ENGINE_CACHE.pop(next(iter(_ENGINE_CACHE)))
         _ENGINE_CACHE[key] = eng
@@ -241,8 +242,12 @@ def fit(data: Union[SASData, str, os.PathLike],
     bound = _default_unbounded_ranges(bound, data)
     cfg = cfg or McSASConfig()
     if mesh is not None:
+        # sharded ensembles cache too (series fits over a pod should not
+        # re-trace the shard_map per file); jax.sharding.Mesh is
+        # hashable, so it simply joins the key
         from .parallel import ShardedEnsemble
-        engine = ShardedEnsemble(data, bound, cfg, mesh=mesh)
+        engine = _cached_engine(ShardedEnsemble, data, bound, cfg,
+                                mesh=mesh)
     else:
         engine = _cached_engine(engine_cls, data, bound, cfg)
     eng_result = engine.run(stop=stop, progress=progress)
