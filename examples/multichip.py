@@ -22,8 +22,9 @@ from mcsas_tpu.parallel import make_mesh
 def main(path):
     n_dev = len(jax.devices())
     print(f"{n_dev} devices: {jax.devices()[0].platform}")
-    # rep-only layout (n_dev × 1): zero collectives, table tier active;
-    # use (n_dev // 2, 2) to also shard the q axis on very fine grids
+    # rep-only layout (n_dev × 1): zero collectives; use
+    # (n_dev // 2, 2) to also shard the q axis on very fine grids —
+    # every tier (quadrature, param-table, smeared) shards either way
     mesh = make_mesh((n_dev, 1))
 
     data = mt.load(path)
