@@ -216,10 +216,11 @@ def suite():
             "max_chi2": round(float(res.engine.conval.max()), 3),
             "converged_reps": int(res.engine.converged.sum()),
             "proposals_per_sec": round(res.engine.iters_per_sec),
-            # total proposals to converge: makes silent trajectory
+            # total proposals to converge, ALL attempts included (the
+            # per-rep counter resets on retry): makes silent trajectory
             # regressions (e.g. a garbled first chunk) auditable — the
             # throughput alone can mask a 2x iteration inflation
-            "total_iters": int(np.asarray(res.engine.n_iter).sum()),
+            "total_iters": int(res.engine.total_iters),
             "pallas": bool(res.engine.used_pallas),
             "table": bool(res.engine.used_table),
             "local_moves": cfg.local_moves,

@@ -104,10 +104,29 @@ class EngineResult:
     used_pallas: bool = False
     used_table: bool = False
     used_prefetch: bool = False   # table rows streamed into the kernel
+    # accumulated over ALL attempts (retried repetitions included) — the
+    # per-rep n_iter above resets on retry, so this is the auditable
+    # total a trajectory regression cannot hide behind
+    total_iters: int = 0
 
     @property
     def num_reps(self) -> int:
         return self.contribs.shape[0]
+
+
+def local_candidates(cur, uniforms, lo, hi, local_scale):
+    """Local-move proposal transform: the slot's current value scaled by
+    exp of a symmetric uniform, clipped to the active ranges.
+
+    SHARED bitwise by the scan path (`McSASEngine._step`) and the
+    prefetch kernel builder (`ops.mc_kernel.build_prefetch_chunk_fn`) —
+    the prefetch kernel's correctness contract is a bitwise-identical
+    proposal stream, so both paths must run these exact operations.
+
+    *cur* is (..., P); *uniforms* is (..., k_local, P) unit uniforms.
+    """
+    factor = jnp.exp((2.0 * uniforms - 1.0) * local_scale)
+    return jnp.clip(cur[..., None, :] * factor, lo, hi)
 
 
 def magnitude_probe(bound: BoundModel, probe_grid, two_d_psi=None):
@@ -242,7 +261,7 @@ def make_intensity_kernels(bound: BoundModel, data: SASData,
             else:
                 table_fn, table_values = table_ret
             if (table_grid_width_only
-                    and int(np.asarray(table_values).shape[1])
+                    and int(table_values.shape[1])
                     != int(np.asarray(data.q).shape[0])):
                 # rows not on the fit grid: a q shard cannot
                 # column-slice them — quadrature kernel instead
@@ -314,8 +333,10 @@ class McSASEngine:
     jitted functions are built once in __init__.
     """
 
-    # subclasses that reshape/shard the fit grid (q-axis sharding) set
-    # this False: ParamTable rows are baked against the engine's own grid
+    # subclasses may veto the table tier outright (_allow_table False)
+    # or restrict it to tables whose rows are on the fit grid itself
+    # (_table_grid_width_only — the layout a q-axis shard can
+    # column-slice; see make_intensity_kernels)
     _allow_table = True
 
     def __init__(self, data: SASData, bound: BoundModel, cfg: McSASConfig,
@@ -674,12 +695,10 @@ class McSASEngine:
 
         k_local = self._k_local()
         if k_local:
-            lo = jnp.asarray([r[0] for r in self.bound.ranges], self.dtype)
-            hi = jnp.asarray([r[1] for r in self.bound.ranges], self.dtype)
+            lo, hi = self._range_bounds()
             cur = state.rset[ri]                                  # (P,)
-            factor = jnp.exp((2.0 * cands[k_cand - k_local:] - 1.0)
-                             * cfg.local_scale)
-            local_c = jnp.clip(cur[None, :] * factor, lo, hi)
+            local_c = local_candidates(cur, cands[k_cand - k_local:],
+                                       lo, hi, cfg.local_scale)
             cands = jnp.concatenate([cands[:k_cand - k_local], local_c],
                                     axis=0)
 
@@ -713,6 +732,12 @@ class McSASEngine:
         """Number of candidates per step drawn as local moves (static)."""
         return int(round(self.cfg.candidates_per_step
                          * self.cfg.local_moves))
+
+    def _range_bounds(self):
+        """(lo, hi) active-range bound vectors in the engine dtype."""
+        lo = jnp.asarray([r[0] for r in self.bound.ranges], self.dtype)
+        hi = jnp.asarray([r[1] for r in self.bound.ranges], self.dtype)
+        return lo, hi
 
     def _draw_chunk_proposals(self, keys, n_steps=None):
         """Pre-draws all proposals for one chunk in one batched RNG call:
@@ -898,6 +923,7 @@ class McSASEngine:
             elapsed=elapsed,
             iters_per_sec=total_iters / max(elapsed, 1e-9),
             moves_per_sec=int(n_moves.sum()) / max(elapsed, 1e-9),
+            total_iters=total_iters,
             used_pallas=(self.uses_pallas or self.uses_prefetch
                          or getattr(self, "_pallas_shard", False)),
             used_table=self.uses_table,

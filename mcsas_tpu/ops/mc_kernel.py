@@ -700,9 +700,15 @@ def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
     k_local = engine._k_local()
     k_global = k_cand - k_local
     if k_local:
-        assert seg <= n, "local moves need distinct slots per segment"
-        lo_p = jnp.asarray([r[0] for r in bound.ranges], engine.dtype)
-        hi_p = jnp.asarray([r[1] for r in bound.ranges], engine.dtype)
+        if seg > n:
+            # correctness precondition, not a debug check (python -O
+            # must not strip it): slots repeat within an over-long
+            # segment and second visits would compute local proposals
+            # from a stale segment-start rset
+            raise ValueError(
+                f"local moves need distinct slots per segment: "
+                f"seg_steps={seg} > num_contribs={n}")
+        lo_p, hi_p = engine._range_bounds()
         local_scale = cfg.local_scale
 
     @jax.jit
@@ -720,13 +726,14 @@ def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
             # slots are strictly distinct within the segment (seg <= n),
             # so each slot's current value at its step IS its
             # segment-start value: the local columns (unit uniforms from
-            # _draw_chunk_proposals) transform here exactly as the scan
-            # path's _step does — bitwise-identical stream
+            # _draw_chunk_proposals) run the SAME shared transform as
+            # the scan path's _step — bitwise-identical stream
+            from ..core.engine import local_candidates
             cur = jnp.swapaxes(jnp.take(state.rset, slots, axis=1),
                                0, 1)                   # (S, R, P)
-            factor = jnp.exp(
-                (2.0 * proposals[:, :, k_global:, :] - 1.0) * local_scale)
-            local_c = jnp.clip(cur[:, :, None, :] * factor, lo_p, hi_p)
+            local_c = local_candidates(
+                cur, proposals[:, :, k_global:, :], lo_p, hi_p,
+                local_scale)
             proposals = jnp.concatenate(
                 [proposals[:, :, :k_global, :], local_c], axis=2)
         rows = row_eval(

@@ -146,6 +146,12 @@ class ShardedEnsemble(McSASEngine):
                                  table_ff="on" if self.uses_table
                                  else "off"))
             assert local.uses_prefetch == self._prefetch_shard
+            # the TRUE per-device segment length: seg is computed from
+            # the clone's LOCAL rep count (its HBM-budget term differs
+            # from the parent's) — callers aligning an unsharded scan
+            # baseline to the prefetch stream must chunk at this value
+            self._prefetch_seg = (mc_kernel.prefetch_seg_steps(local)
+                                  if self._prefetch_shard else 0)
             local_chunk = local._chunk_batch
 
             sm_pallas = jax.shard_map(
