@@ -406,11 +406,13 @@ class OutputFiles:
 
 def run_files(filenames: Sequence, model=None, cfg: Optional[McSASConfig]
               = None, histograms=None, out_dir=None, plot: bool = False,
-              data_config=None) -> list:
+              data_config=None, mesh=None) -> list:
     """Batch driver over many data files: fits each and writes the full
     output-file set; accumulates series statistics when cfg.series_stats
     (reference Calculator.__call__ per-file pipeline + series handling:
-    gui/calc.py:276-379)."""
+    gui/calc.py:276-379).  With *mesh* each fit runs SPMD over the
+    device mesh (cached sharded engines: same-shaped files re-trace
+    nothing)."""
     from .utils.log import RunLogFile
     cfg = cfg or McSASConfig()
     results = []
@@ -423,7 +425,8 @@ def run_files(filenames: Sequence, model=None, cfg: Optional[McSASConfig]
                             engine=None, fractions=None, histograms=[])
         out = OutputFiles(probe, out_dir=out_dir)
         with RunLogFile(out.path("log", ".txt")):
-            res = fit(d, model=model, cfg=cfg, histograms=histograms)
+            res = fit(d, model=model, cfg=cfg, histograms=histograms,
+                      mesh=mesh)
             out.result = res
             res.output_files = out.write_all(plot=plot)
         results.append(res)

@@ -105,6 +105,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scan a directory tree for user model files "
                         "(repeatable; reference FindModels startup "
                         "discovery, utils/findmodels.py:73-186)")
+    p.add_argument("--mesh", default=None, metavar="REP[,Q]",
+                   help="run SPMD over a device mesh: repetition-axis "
+                        "size and optional q-axis size (e.g. --mesh 4 "
+                        "or --mesh 4,2; product must not exceed "
+                        "jax.device_count())")
     p.add_argument("--list-models", action="store_true",
                    help="list available models and exit")
     p.add_argument("-l", "--nolog", action="store_true",
@@ -198,9 +203,20 @@ def main(argv=None) -> int:
         from .post.histogram import default_histograms
         specs = (list(default_histograms(bound)) if specs is None
                  else specs) + extra
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+        try:
+            dims = [int(x) for x in args.mesh.split(",")]
+            if len(dims) not in (1, 2) or any(x < 1 for x in dims):
+                raise ValueError(args.mesh)
+            mesh = make_mesh((dims[0], dims[1] if len(dims) == 2 else 1))
+        except ValueError as e:
+            print(f"error: bad --mesh: {e}", file=sys.stderr)
+            return 2
     results = run_files(args.filenames, model=bound, cfg=cfg,
                         histograms=specs, data_config=data_config,
-                        out_dir=args.outdir, plot=args.plot)
+                        out_dir=args.outdir, plot=args.plot, mesh=mesh)
     failures = sum(0 if r.converged else 1 for r in results)
     for r in results:
         status = "converged" if r.converged else "NOT CONVERGED"

@@ -283,3 +283,26 @@ def test_fit_with_mesh_full_pipeline(refdata):
     assert rep_eq.sum() >= len(rep_eq) - 1     # tie-cascade tolerance
     np.testing.assert_allclose(np.sort(res_m.engine.conval),
                                np.sort(res_u.engine.conval), rtol=2e-2)
+
+
+def test_cli_mesh_run(refdata, tmp_path, capsys):
+    """--mesh REP,Q runs the series driver SPMD over a device mesh."""
+    import jax
+    if len(jax.devices("cpu")) < 8:
+        pytest.skip("needs 8 virtual cpu devices")
+    from mcsas_tpu.cli import main
+    rc = main([str(refdata / "sasfit_sphere-10-1.dat"),
+               "-m", "Sphere", "-o", str(tmp_path), "--mesh", "4,2",
+               "--contribs", "16", "--reps", "4", "--max-iter", "3000",
+               "--candidates", "4", "--seed", "3", "--nolog"])
+    out = capsys.readouterr().out
+    assert "sasfit_sphere-10-1" in out
+    assert rc in (0, 1)
+    assert len(list(tmp_path.iterdir())) == 1
+
+
+def test_cli_mesh_rejects_garbage(capsys):
+    from mcsas_tpu.cli import main
+    rc = main(["nofile.dat", "--mesh", "banana", "--nolog"])
+    assert rc == 2
+    assert "bad --mesh" in capsys.readouterr().err
