@@ -138,6 +138,74 @@ def _cyl_iso_table_factory(bound, q_grid, dtype, smear=None):
     return ff, tab.values
 
 
+def _psi_grid_table_factory(ff_fn, reads, res_map,
+                            div_param="psiAngleDivisions",
+                            div_conv=3001):
+    """Generic fit-grade table factory for the legacy ψ-grid cylinder
+    variants (see ops/tables.py::ParamTable): rows over a log grid of
+    the ACTIVE parameters the rule reads, the q axis exact.
+
+    Rows are baked with a CONVERGED ψ rule (``div_conv`` divisions, same
+    precedent as the CylindersIsotropic n=801 table): the verbatim
+    303-point grids under-resolve the orientation average at high qR —
+    their value there is quadrature noise oscillating on a parameter
+    scale no interpolation can track, while the converged average is
+    smooth.  Fit-grade contract as everywhere: the float64 post pass
+    re-evaluates the model's own (verbatim) ``ff``.  With *smear* the
+    rows bake the smeared intensity against the dataset's own
+    contraction (reference smearing path:
+    src/mcsas/bases/model/sasmodel.py:56-73)."""
+    def factory(bound, q_grid, dtype, smear=None):
+        from ..ops import tables
+        tab_params = tuple(p for p in bound.active if p in reads)
+        if len(tab_params) not in res_map:
+            return None
+        res = tables.cap_res(res_map[len(tab_params)])
+        if not res:
+            return None
+        grids = [tables.log_grid(*tables.param_product_range(bound, p),
+                                 nn)
+                 for p, nn in zip(tab_params, res)]
+        fixed = dict(bound.fixed)
+        fixed[div_param] = float(max(div_conv,
+                                     int(fixed.get(div_param, 0))))
+        locs = None if smear is None else np.asarray(smear[0])
+        qd = jnp.asarray(np.asarray(q_grid) if smear is None
+                         else locs.ravel(), dtype)
+        if smear is not None:
+            sw = jnp.asarray(np.asarray(smear[1]), dtype)
+
+        def row_fn(vals):
+            p = dict(fixed)
+            for i, name in enumerate(tab_params):
+                p[name] = vals[i]
+            # active params the rule does not read never enter the rows
+            for name in bound.active:
+                p.setdefault(name, 1.0)
+            f = ff_fn(qd, p)
+            if smear is not None:
+                return (f * f).reshape(locs.shape) @ sw
+            return f
+
+        key = (ff_fn.__name__, tab_params, int(fixed[div_param]),
+               tables.grid_fingerprint(q_grid),
+               tables.smear_fingerprint(smear),
+               tuple(sorted(fixed.items())))
+        tab = tables.build_param_table(row_fn, grids, dtype, block=64,
+                                       cache_key=key)
+        lookup = tables.make_lookup(tab.axes, tab_params)
+
+        def ff(q, values, p):
+            # valid only on the baked fit grid (the engine passes it)
+            return lookup(values, p)
+
+        if smear is not None:
+            return ff, tab.values, "intensity"
+        return ff, tab.values
+
+    return factory
+
+
 CylindersIsotropic = SASModel(
     name="CylindersIsotropic",
     can_smear=True,
@@ -201,6 +269,9 @@ CylindersIsotropicAspect = SASModel(
                   display_name="in-plane angle divisions"),
     ),
     ff=_cyl_iso_aspect_ff,
+    ff_table_factory=_psi_grid_table_factory(
+        _cyl_iso_aspect_ff, ("radius", "aspect"),
+        {1: (4096,), 2: (512, 64)}),
     volume=lambda p: math.pi * p["radius"] ** 2
     * (2.0 * p["radius"] * p["aspect"]),
     default_active=("radius", "psiAngle"),
@@ -253,6 +324,9 @@ CylindersRadiallyIsotropic = SASModel(
                   display_name="scattering length density difference"),
     ),
     ff=_cyl_radial_ff,
+    ff_table_factory=_psi_grid_table_factory(
+        _cyl_radial_ff, ("radius", "aspect", "psiAngle"),
+        {1: (4096,), 2: (512, 64), 3: (128, 32, 16)}),
     ff2d=_cyl_radial_ff2d,
     volume=lambda p: math.pi * p["radius"] ** 2
     * (2.0 * p["radius"] * p["aspect"]),
@@ -338,6 +412,10 @@ CylindersRadiallyIsotropicTilted = SASModel(
         ParamSpec("phiDistDivisions", 9.0, NoUnit, (1.0, float("inf")),
                   display_name="out of plane integration divisions"),
     ),
+    # no table tier: the upstream-UNFINISHED tilt rule does not converge
+    # with its psi grid at high qR (the orientation integrand oscillates
+    # ~qL times across the grid), so there is no smooth target to
+    # tabulate — the model stays on the quadrature kernel
     ff=_cyl_tilted_ff,
     ff2d=_cyl_tilted_ff2d,
     volume=lambda p: math.pi * p["radius"] ** 2

@@ -307,3 +307,26 @@ def test_engine_table_off_matches_legacy_path(sphere_data):
     assert not eng.uses_table
     res = eng.run()
     assert np.all(np.isfinite(res.conval))
+
+
+@pytest.mark.parametrize("name,active,ranges", [
+    ("CylindersIsotropicAspect", ("radius", "aspect"),
+     {"radius": (0.5 * NM, 300 * NM), "aspect": (1.0, 20.0)}),
+    ("CylindersRadiallyIsotropic", ("radius", "psiAngle"),
+     {"radius": (0.5 * NM, 300 * NM)}),
+])
+def test_psi_grid_table_accuracy(name, active, ranges, monkeypatch):
+    """The legacy ψ-grid cylinder variants gain the table tier.  Rows
+    are baked with a CONVERGED ψ rule (the verbatim 303-point grids are
+    quadrature noise at high qR — CylindersIsotropic n=801 precedent),
+    so the accuracy reference is the converged rule, quirks preserved."""
+    monkeypatch.delenv("MCSAS_TPU_TABLE_RES_CAP", raising=False)
+    m = get_model(name)
+
+    def exact(q, p):
+        return m.ff(q, dict(p, psiAngleDivisions=3001.0))
+
+    errs = _table_errs(name, active, ranges, exact, n_trial=25)
+    assert np.median(errs) < 1e-3
+    assert np.percentile(errs, 90) < 5e-2
+    assert np.percentile(errs, 99) < 2e-1
