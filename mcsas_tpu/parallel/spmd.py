@@ -164,13 +164,79 @@ class ShardedEnsemble(McSASEngine):
             self._chunk_batch = jax.jit(lambda state, ri: sm_chunk(
                 state, ri, grid_sharded, consts_sharded))
         self._reinit_merge = jax.jit(self._merge_reinit)
-        # the parent's fused init+drive would initialize the whole state
-        # UNSHARDED (one device's memory) before the shard_map chunk
-        # reshards it — fine on a virtual mesh, an OOM hazard on real
-        # chips.  The sharded ensemble always initializes through its
-        # shard_map and chunks via the host loop.
-        self._drive = None
-        self._init_drive = None
+
+        # ---- single-launch drive (round-4): a device-side while_loop
+        # AROUND the shard_map'd chunk body, so multi-chip fits stop
+        # paying the per-chunk host RTT the engine prices at ~4 ms/launch
+        # (core/engine.py drive docs).  The state stays sharded across
+        # loop iterations; the `live` condition reduces the small (R,)
+        # convergence scalars, for which XLA inserts the all-reduce.
+        # Same tiering as the parent (engine.py:461-509): FAST bodies
+        # (Pallas shard, elementwise XLA) run unbounded; table bodies use
+        # a BOUNDED loop (32 chunks/launch — remote-watchdog headroom);
+        # quadrature-heavy bodies keep the host chunk loop (compile
+        # blow-up).  Initialization stays sharded by construction — it
+        # goes through the same shard_map'd init (the round-3 OOM hazard
+        # of the parent's unsharded fused init does not apply), and for
+        # the Pallas shard it stays its OWN launch per the documented
+        # input_output_aliases fusion hazard (CLAUDE.md).
+        fast_body = (self._pallas_shard
+                     or (bound.model.elementwise_q and not self.uses_table))
+        if fast_body or self.uses_table:
+            drive_trips = None if fast_body else 32
+            crit = float(cfg.convergence_criterion)
+            max_it = cfg.max_iterations
+            inner_chunk = self._chunk_batch   # jitted shard_map (inlines)
+
+            def drive_loop(state, ri):
+                def live(s):
+                    return jnp.any((s.conval > crit) & (s.n_iter < max_it))
+
+                if drive_trips is None:
+                    return jax.lax.while_loop(
+                        lambda carry: live(carry[0]),
+                        lambda carry: inner_chunk(*carry), (state, ri))
+
+                def running(carry):
+                    (s, _), trip = carry
+                    return (trip < drive_trips) & live(s)
+
+                def body(carry):
+                    (s, ri_c), trip = carry
+                    return inner_chunk(s, ri_c), trip + 1
+
+                (state, ri), _ = jax.lax.while_loop(
+                    running, body, ((state, ri), jnp.zeros((), jnp.int32)))
+                return state, ri
+
+            if self._fast_pack:
+                def drive(state, ri):
+                    state, ri = drive_loop(state, ri)
+                    return state, ri, self._pack(state)
+            else:
+                def drive(state, ri):
+                    state, ri = drive_loop(state, ri)
+                    return state, ri, jnp.zeros((), jnp.float32)
+
+            self._drive = jax.jit(drive)
+
+            def init_seeded(seed):
+                keys = jax.random.split(jax.random.PRNGKey(seed),
+                                        cfg.num_reps)
+                return sm_init(keys, grid_sharded, consts_sharded)
+
+            if self._pallas_shard:
+                _init_jit = jax.jit(init_seeded)
+                _ri0 = jnp.zeros((), jnp.int32)
+                self._init_drive = lambda seed: self._drive(
+                    _init_jit(seed), _ri0)
+            else:
+                _fused = jax.jit(lambda seed: drive(
+                    init_seeded(seed), jnp.zeros((), jnp.int32)))
+                self._init_drive = _fused
+        else:
+            self._drive = None
+            self._init_drive = None
 
     def run(self, **kw):
         res = super().run(**kw)

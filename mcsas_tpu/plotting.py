@@ -31,26 +31,79 @@ def _format_moments_box(hist) -> str:
                      for name, v in rows)
 
 
+def _format_algo_info(result) -> str:
+    """Algorithm-information block (reference formatAlgoInfo:
+    src/mcsas/mcsas/plotting.py:281-303): data title, q limits, active
+    parameters + ranges, background/scaling ± std over reps, timing and
+    iteration counts."""
+    d = result.data
+    bound = result.bound
+    eng = result.engine
+    lines = [f"Fitting of data: {d.title or 'untitled'}"]
+    q = np.asarray(d.q, np.float64) * 1e-9
+    lines.append(f"q = [{q.min():.4g}, {q.max():.4g}] nm⁻¹  "
+                 f"({d.count} points)")
+    ranges = []
+    for name, (lo, hi) in zip(bound.active, bound.ranges):
+        unit = bound.model.spec(name).unit
+        ranges.append(f"{name} ∈ [{unit.to_display(lo):.4g}, "
+                      f"{unit.to_display(hi):.4g}] {unit.display}")
+    lines.append(f"Active parameters: {bound.n_active} "
+                 f"({'; '.join(ranges)})")
+    bg_mean, bg_std = result.background
+    sc_mean, sc_std = result.scaling
+    lines.append(f"Background level: {bg_mean:3.3g} ± {bg_std:3.3g}")
+    lines.append(f"( Scaling factor: {sc_mean:3.3g} ± {sc_std:3.3g} )")
+    n_it = eng.n_iter
+    lines.append(f"Timing: {eng.num_reps} repetitions in "
+                 f"{eng.elapsed:3.3g} s  "
+                 f"({n_it.mean():,.0f} ± {n_it.std():,.0f} "
+                 "proposals/repetition)")
+    chi2 = eng.conval
+    lines.append(f"Reduced χ²: {chi2.mean():3.3g} ± {chi2.std():3.3g}  "
+                 f"({int(eng.converged.sum())}/{eng.num_reps} converged)")
+    return "\n".join(lines)
+
+
 def plot_results(result, output_filename: Optional[str] = None,
                  axis_margin: float = 0.3, auto_close: bool = True,
-                 show: bool = False):
-    """Draws the fit panel plus one histogram panel per histogram spec.
+                 show: bool = False, show_reps: bool = False):
+    """Draws the fit panel plus one histogram panel per histogram spec,
+    with the reference's algorithm-information strip above the panels
+    (formatAlgoInfo/plotInfo: src/mcsas/mcsas/plotting.py:281-303,
+    490-509), its axis-margin limits (plot1D :423-428, plotHist
+    :530-540), and — with *show_reps* — the per-repetition partial
+    intensity curves (plotPartial :407-411).
 
     Returns the matplotlib Figure (closed if auto_close and not shown).
     """
     hists = result.histograms
     n_panels = 1 + len(hists)
-    fig, axes = plt.subplots(1, n_panels,
-                             figsize=(5.0 * n_panels, 4.2))
-    axes = np.atleast_1d(axes)
+    fig = plt.figure(figsize=(5.0 * n_panels, 5.4))
+    gs = fig.add_gridspec(2, n_panels, height_ratios=[1.0, 3.6],
+                          hspace=0.05)
+    info_ax = fig.add_subplot(gs[0, :])
+    info_ax.axis("off")
+    info_ax.text(0.01, 0.95, _format_algo_info(result),
+                 transform=info_ax.transAxes, fontsize=7,
+                 family="monospace", ha="left", va="top")
+    axes = np.asarray([fig.add_subplot(gs[1, i])
+                       for i in range(n_panels)])
 
     # --- fit panel (reference plot1D: plotting.py:413-486) --------------
     ax = axes[0]
     d = result.data
     q_disp = d.q * 1e-9          # show in nm⁻¹ like the reference UI
     ax.errorbar(q_disp, d.f, yerr=d.fu, fmt=".", color="#666666",
-                markersize=3, elinewidth=0.5, label="data")
-    ax.plot(q_disp, result.fit_measval_mean, "r-", lw=1.5, label="MC fit")
+                markersize=3, elinewidth=0.5, label="data", zorder=2)
+    if show_reps:
+        for rep_curve in result._measval:
+            ax.plot(q_disp, rep_curve, "b-", lw=0.5, alpha=0.35,
+                    zorder=3)
+        ax.plot([], [], "b-", lw=0.5, alpha=0.6,
+                label="MC partial (per rep)")
+    ax.plot(q_disp, result.fit_measval_mean, "r-", lw=1.5, label="MC fit",
+            zorder=4)
     lo = result.fit_measval_mean - result.fit_measval_std
     hi = result.fit_measval_mean + result.fit_measval_std
     ax.fill_between(q_disp, lo, hi, color="r", alpha=0.2, lw=0)
@@ -60,6 +113,16 @@ def plot_results(result, output_filename: Optional[str] = None,
                    label="background")
     ax.set_xscale("log")
     ax.set_yscale("log")
+    # reference axis margins (plot1D plotting.py:423-428): x from the
+    # data extent, y from the smallest NONZERO intensity, both padded
+    # by axis_margin
+    ax.set_xlim(q_disp.min() * (1.0 - axis_margin),
+                q_disp.max() * (1.0 + axis_margin))
+    f = np.asarray(d.f, np.float64)
+    nz = f[f != 0.0]
+    if nz.size:
+        ax.set_ylim(nz.min() * (1.0 - axis_margin),
+                    f.max() * (1.0 + axis_margin))
     ax.set_xlabel("q (nm$^{-1}$)")
     ax.set_ylabel("I (m sr)$^{-1}$")
     ax.legend(loc="lower left", fontsize=8)
@@ -77,6 +140,11 @@ def plot_results(result, output_filename: Optional[str] = None,
                 label="min. observability")
         if h.spec.xscale == "log":
             ax.set_xscale("log")
+        # reference histogram x-margins (plotHist plotting.py:530-540):
+        # bar extents padded by axis_margin
+        edges = unit.to_display(np.asarray(h.x_lower_edge, np.float64))
+        ax.set_xlim(edges.min() * (1.0 - axis_margin),
+                    edges.max() * (1.0 + axis_margin))
         ax.set_xlabel(f"{h.spec.param} ({unit.display})")
         ax.set_ylabel(f"{h.spec.yweight} fraction")
         ax.legend(fontsize=7)

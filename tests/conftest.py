@@ -34,6 +34,50 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import pytest  # noqa: E402
 
+
+def _compile_service_alive(timeout: float) -> bool:
+    """Probe ONE trivial jit in a subprocess with a hard timeout.
+
+    All XLA compilation in this sandbox is REMOTE (CLAUDE.md): when the
+    compile service is down, the first ``jax.jit`` call of any process
+    hangs indefinitely — the suite would sit forever at the first
+    compile instead of failing.  A subprocess probe (fresh process, CPU
+    platform, same persistent cache) turns that hang into a bounded,
+    explainable skip.  A cached executable counts as alive: the suite
+    only needs compiles *served*, whether by the service or the cache.
+    """
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    # same cache the suite uses, so a warm cache passes the probe even
+    # during an outage — but the probe program must NOT be one the suite
+    # compiles (a hit would prove nothing about uncached programs), so
+    # it uses a shape/op combination nothing else builds
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "jax.config.update('jax_default_device', jax.devices('cpu')[0]);"
+        f"jax.config.update('jax_compilation_cache_dir', {str(_REPO / '.jax_cache_cpu')!r});"
+        "print(jax.jit(lambda a: (a * 3 + 1).sum())(jnp.ones((17,))))"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", probe], env=env,
+                           timeout=timeout, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+if os.environ.get("MCSAS_TPU_SKIP_COMPILE_PROBE") != "1":
+    _probe_s = float(os.environ.get("MCSAS_TPU_COMPILE_PROBE_S", "90"))
+    if not _compile_service_alive(_probe_s):
+        pytest.exit(
+            "remote XLA compile service unreachable (a trivial CPU jit "
+            f"did not finish within {_probe_s:.0f}s in a subprocess "
+            "probe) — the suite would hang at its first compile. "
+            "Re-run when the service is back, or set "
+            "MCSAS_TPU_SKIP_COMPILE_PROBE=1 to bypass the probe.",
+            returncode=2)
+
 # golden data ships with the repo (testdata/ — measurement *data*, not
 # code, copied from the reference's published test datasets) so the
 # suite runs in a bare checkout; the reference tree is the fallback

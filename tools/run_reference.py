@@ -1,0 +1,219 @@
+# -*- coding: utf-8 -*-
+"""Run the ORIGINAL reference McSAS (BAMresearch/McSAS, /root/reference)
+under Python 3 and dump its results as a JSON fixture for statistical
+cross-validation against mcsas_tpu (tests/test_reference_parity.py).
+
+The reference is Python-2-era; it runs under Python 3 with two
+mechanical shims applied to a THROWAWAY copy in a temp directory (the
+read-only reference tree is never modified, and no reference code
+enters this repository — the fixture holds only numerical results):
+
+1. a minimal ``future`` package stand-in (``with_metaclass`` +
+   ``standard_library.install_aliases`` no-op) — the real python-future
+   dependency is not installed;
+2. a headless ``gui/utils/__init__.py`` stub: ``processEventLoop`` is
+   the GUI keep-alive the core imports through the acknowledged
+   back-edge (reference mcsas/mcsas.py:23,400; SURVEY §1), a no-op
+   without Qt.
+
+Everything else runs the reference's own code: SASData construction
+(uncertainty floor, log rebin), Sphere model, the MC engine
+(mcsas/mcsas.py:287-439), histogramming (:445-615).
+
+Workload: the regression-test shape from the reference's own
+mcsas_test.py:62-66 (or --quickstart for the 36 s quickstart workload,
+doc/source/quickstart.rst:106).
+
+Usage:
+    python tools/run_reference.py [--quickstart] [--reps N]
+        [--contribs N] [--seed-reps] [--out fixture.json]
+"""
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REFERENCE = "/root/reference"
+
+_FUTURE_INIT = '''\
+class _SL:
+    def install_aliases(self):
+        pass
+standard_library = _SL()
+'''
+
+_FUTURE_UTILS = '''\
+def with_metaclass(meta, *bases):
+    return meta("NewBase", bases or (object,), {})
+'''
+
+_GUI_UTILS_STUB = '''\
+def processEventLoop():
+    pass
+'''
+
+
+def prepare_tree(workdir: str) -> str:
+    """Copies the reference package into *workdir* and applies the two
+    py3 shims.  Returns the sys.path root."""
+    pkg = os.path.join(workdir, "mcsas")
+    shutil.copytree(os.path.join(REFERENCE, "src", "mcsas"), pkg)
+    fut = os.path.join(workdir, "future")
+    os.makedirs(fut, exist_ok=True)
+    with open(os.path.join(fut, "__init__.py"), "w") as fh:
+        fh.write(_FUTURE_INIT)
+    with open(os.path.join(fut, "utils.py"), "w") as fh:
+        fh.write(_FUTURE_UTILS)
+    with open(os.path.join(pkg, "gui", "utils", "__init__.py"),
+              "w") as fh:
+        fh.write(_GUI_UTILS_STUB)
+    return workdir
+
+
+# executed in a fresh subprocess with the patched tree on sys.path
+_RUNNER = r'''
+import json, sys, time
+import numpy as np
+
+workdir, datafile, n_contribs, n_reps, max_iter, out = sys.argv[1:7]
+n_contribs, n_reps, max_iter = int(n_contribs), int(n_reps), int(max_iter)
+sys.path.insert(0, workdir)
+
+import logging
+logging.basicConfig(level=logging.WARNING)
+logging.getLogger().setLevel(logging.WARNING)
+
+from mcsas.mcsas.mcsas import McSAS
+from mcsas.datafile import loaddatafile
+from mcsas.models.sphere import Sphere
+from mcsas.utils.parameter import Histogram
+
+# the reference's own loader chain (GUI path): tolerant ASCII parse →
+# SASData with uncertainty floor + log rebin
+data = loaddatafile(datafile).getDataObj()
+est = data.sphericalSizeEst()
+
+algo = McSAS.factory()()
+model = Sphere()
+model.radius.setActive(True)
+# the model's own default activeRange (1-1000 nm, RandomUniform —
+# models/sphere.py:16-26), identical to mcsas_tpu's Sphere ParamSpec:
+# both MCs then search the same space
+lo, hi = model.radius.activeRange()
+# the GUI adds histograms via the range list; default shape: 50 bins,
+# log x, one volume- and one number-weighted (Histogram defaults)
+model.radius.histograms().append(
+    Histogram(model.radius, lo, hi, binCount=50, xscale="log",
+              yweight="vol"))
+model.radius.histograms().append(
+    Histogram(model.radius, lo, hi, binCount=50, xscale="log",
+              yweight="num"))
+algo.model = model
+algo.data = data
+algo.numContribs.setValue(n_contribs)
+algo.numReps.setValue(n_reps)
+algo.maxIterations.setValue(max_iter)
+algo.convergenceCriterion.setValue(1.0)
+
+t0 = time.time()
+algo.calc()
+elapsed = time.time() - t0
+if not algo.result:
+    json.dump({"error": "reference did not converge", "elapsed": elapsed},
+              open(out, "w"))
+    sys.exit(3)
+r = algo.result[0]
+
+def arr(v):
+    return np.asarray(v, np.float64).tolist() if v is not None else None
+
+hists = {}
+for h in model.radius.histograms():
+    m = h.moments
+    hists[h.yweight] = {
+        "xLowerEdge": arr(h.xLowerEdge),
+        "xMean": arr(h.xMean),
+        "xWidth": arr(h.xWidth),
+        "yMean": arr(h.bins.mean),
+        "yStd": arr(h.bins.std),
+        "cdfMean": arr(h.cdf.mean),
+        "observability": arr(h.observability),
+        "moments": {"total": list(m.total), "mean": list(m.mean),
+                    "variance": list(m.variance), "skew": list(m.skew),
+                    "kurtosis": list(m.kurtosis)},
+    }
+
+times = np.asarray(r.get("times", []), np.float64)
+fix = {
+    "workload": {"datafile": datafile, "numContribs": n_contribs,
+                 "numReps": n_reps, "maxIterations": max_iter,
+                 "convergenceCriterion": 1.0,
+                 "activeRange_m": [float(lo), float(hi)],
+                 "sizeEstimate_m": [float(est[0]), float(est[1])]},
+    "host_elapsed_s": elapsed,
+    "times_per_rep_s": times.tolist(),
+    "numIter_mean": float(r.get("numIter", 0.0)),
+    "histograms": hists,
+    "fitX0": arr(np.ravel(r["fitX0"])),
+    "fitMeasValMean": arr(np.ravel(r["fitMeasValMean"])),
+    "fitMeasValStd": arr(np.ravel(r["fitMeasValStd"])),
+    "dataMean": arr(np.ravel(r["dataMean"])),
+    "scaling_mean_std": [float(r["scaling"][0]), float(r["scaling"][1])],
+    "background_mean_std": [float(r["background"][0]),
+                            float(r["background"][1])],
+}
+json.dump(fix, open(out, "w"), indent=1)
+print("wrote", out)
+'''
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quickstart", action="store_true",
+                    help="use quickstartdemo1.csv (the 36 s workload)")
+    ap.add_argument("--contribs", type=int, default=None)
+    ap.add_argument("--reps", type=int, default=None)
+    ap.add_argument("--max-iter", type=int, default=100000)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--timeout", type=int, default=5400)
+    args = ap.parse_args()
+
+    if args.quickstart:
+        datafile = os.path.join(REFERENCE, "testdata",
+                                "quickstartdemo1.csv")
+        default_out = "testdata/reference_quickstart_fixture.json"
+        # quickstart defaults (doc/source/quickstart.rst): 300 x 10
+        contribs = args.contribs or 300
+        reps = args.reps or 10
+    else:
+        datafile = os.path.join(REFERENCE, "testdata",
+                                "sasfit_sphere-10-1.dat")
+        default_out = "testdata/reference_sphere10_fixture.json"
+        # the reference regression workload (mcsas_test.py:62-66)
+        contribs = args.contribs or 200
+        reps = args.reps or 20
+    args.contribs, args.reps = contribs, reps
+    out = os.path.abspath(args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        default_out))
+
+    workdir = tempfile.mkdtemp(prefix="mcsas-ref-")
+    try:
+        prepare_tree(workdir)
+        t0 = time.time()
+        rc = subprocess.run(
+            [sys.executable, "-u", "-c", _RUNNER, workdir, datafile,
+             str(args.contribs), str(args.reps), str(args.max_iter), out],
+            timeout=args.timeout).returncode
+        print(f"reference run rc={rc} in {time.time() - t0:.1f}s")
+        return rc
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
