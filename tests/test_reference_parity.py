@@ -209,22 +209,31 @@ def test_headline_accelerators_certified_strong(reference_run_strong):
 # the reference's own regression tolerances (mcsas_test.py:105-116:
 # 0.2 on histogram bars, 0.005 relative half-diff on the fit mean).
 
-_FIXTURE = (pathlib.Path(__file__).resolve().parent.parent / "testdata"
-            / "reference_sphere10_fixture.json")
+_TESTDATA = pathlib.Path(__file__).resolve().parent.parent / "testdata"
+# fixture file → the dataset it was fitted on (generated by
+# tools/run_reference.py; quickstart = doc/source/quickstart.rst:106
+# workload, sphere10 = mcsas_test.py:62-66 regression workload with a
+# raised iteration budget — the reference's default 1e5 cap cannot
+# converge on that dataset, measured ~2.8e5 needed)
+_FIXTURES = {
+    "quickstart": ("reference_quickstart_fixture.json",
+                   "quickstartdemo1.csv"),
+    "sphere10": ("reference_sphere10_fixture.json",
+                 "sasfit_sphere-10-1.dat"),
+}
 
 
-@pytest.fixture(scope="module")
-def reference_fixture():
-    if not _FIXTURE.exists():
-        pytest.skip("reference fixture not generated "
+@pytest.fixture(scope="module", params=sorted(_FIXTURES))
+def crossval_run(request, refdata):
+    fixfile, dataset = _FIXTURES[request.param]
+    path = _TESTDATA / fixfile
+    if not path.exists():
+        pytest.skip(f"reference fixture {fixfile} not generated "
                     "(tools/run_reference.py)")
-    return json.loads(_FIXTURE.read_text())
-
-
-@pytest.fixture(scope="module")
-def crossval_run(reference_fixture, refdata):
-    fix = reference_fixture
-    d = data.load(refdata / "sasfit_sphere-10-1.dat")
+    fix = json.loads(path.read_text())
+    if "error" in fix:
+        pytest.skip(f"reference run failed: {fix['error']}")
+    d = data.load(refdata / dataset)
     lo, hi = fix["workload"]["activeRange_m"]
     # both pipelines must derive the same fit grid; the reference ran on
     # the Sphere model's own default active range, which must equal our
@@ -233,8 +242,9 @@ def crossval_run(reference_fixture, refdata):
     bound = get_model("Sphere").bind()
     np.testing.assert_allclose(bound.ranges[0], [lo, hi], rtol=1e-12)
     n_reps = int(fix["workload"]["numReps"])
+    # the headline-bench proposal budget (sphere10 needs ~6.5M at K=128)
     cfg = McSASConfig(num_contribs=int(fix["workload"]["numContribs"]),
-                      num_reps=n_reps, max_iterations=4_000_000,
+                      num_reps=n_reps, max_iterations=8_000_000,
                       chunk_steps=2000, seed=101, max_retries=1,
                       convergence_criterion=1.0,
                       candidates_per_step=128, local_moves=0.5)

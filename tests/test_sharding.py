@@ -313,3 +313,57 @@ def test_q_sharded_partial_table_kholodenko(refdata, cpus, monkeypatch):
     base = McSASEngine(d, bound, cfg).run()
     assert base.used_table
     assert_contribs_match(res, base)
+
+
+# --------------- sharded single-launch drive (round-4, VERDICT r3 #2) ------
+
+def test_sharded_drive_built_and_matches_host_loop(setup, cpus):
+    """The sharded ensemble must own a single-launch drive (fast body:
+    elementwise Sphere) and the drive must produce EXACTLY the host
+    chunk loop's trajectory: same contributions, same per-rep proposal
+    counts (identical chunk schedule), same cursor semantics.  A
+    progress hook forces the host loop on the same engine, so both
+    paths share every compiled chunk function."""
+    d, bound, cfg = setup
+    se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((4, 2), cpus))
+    assert se._drive is not None, "sharded fast body lost its drive"
+    assert se._init_drive is not None
+    res_drive = se.run()
+    res_host = se.run(progress=lambda info: None)   # forces host loop
+    np.testing.assert_array_equal(res_drive.contribs, res_host.contribs)
+    np.testing.assert_array_equal(res_drive.n_iter, res_host.n_iter)
+    np.testing.assert_allclose(res_drive.conval, res_host.conval,
+                               rtol=1e-6)
+
+
+def test_sharded_drive_matches_unsharded_counts(setup, baseline, cpus):
+    """Sharded and unsharded drives must consume identical per-rep
+    proposal counts — neither may silently run a different chunk
+    schedule (the dryrun asserts the same on the driver artifact)."""
+    d, bound, cfg = setup
+    se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((4, 1), cpus))
+    res = se.run()
+    np.testing.assert_array_equal(res.contribs, baseline.contribs)
+    np.testing.assert_array_equal(res.n_iter, baseline.n_iter)
+
+
+def test_sharded_drive_table_tier_bounded(refdata, cpus, monkeypatch):
+    """Table-tier sharded ensembles get the BOUNDED drive (32
+    trips/launch) and still match their own host loop bitwise."""
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "32")
+    d = data.load(refdata / "sasfit_kho-1-10-1000.dat")
+    bound = get_model("Kholodenko").bind(
+        active=("radius",), active_ranges={"radius": (5e-10, 5e-9)},
+        fixed={"lengthKuhn": 10e-9, "lengthContour": 1000e-9})
+    cfg = McSASConfig(num_contribs=12, num_reps=2, max_iterations=4000,
+                      chunk_steps=100, seed=3, max_retries=0,
+                      candidates_per_step=4, use_pallas="off",
+                      table_ff="on", convergence_criterion=2.0,
+                      show_incomplete=True)
+    se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((2, 1), cpus))
+    assert se.uses_table
+    assert se._drive is not None, "table tier lost its bounded drive"
+    res_drive = se.run()
+    res_host = se.run(progress=lambda info: None)
+    np.testing.assert_array_equal(res_drive.contribs, res_host.contribs)
+    np.testing.assert_array_equal(res_drive.n_iter, res_host.n_iter)
