@@ -191,8 +191,18 @@ def _psi_grid_table_factory(ff_fn, reads, res_map,
                tables.grid_fingerprint(q_grid),
                tables.smear_fingerprint(smear),
                tuple(sorted(fixed.items())))
-        tab = tables.build_param_table(row_fn, grids, dtype, block=64,
-                                       cache_key=key)
+        # probe-gated: these legacy wedge / in-plane orientation rules
+        # oscillate along the parameter axes with phase ~q·L, so over
+        # wide ranges NO resolution interpolates fit-grade (measured:
+        # radius 512→1024 left p90 error at 0.73) — the probe engages
+        # the table only where production-spacing interpolation meets
+        # the fit-grade contract, else the engine keeps the exact
+        # in-loop quadrature
+        tab = tables.build_param_table(
+            row_fn, grids, dtype, block=64, cache_key=key, probe=True,
+            probe_rows_are_intensity=smear is not None)
+        if tab is None:
+            return None
         lookup = tables.make_lookup(tab.axes, tab_params)
 
         def ff(q, values, p):

@@ -147,12 +147,22 @@ class ParamTable(NamedTuple):
         return self.values.shape[1]
 
 
+_DECLINED = "__table_declined__"
+
+
 def build_param_table(row_fn, grids, dtype=jnp.float32, block: int = 256,
-                      cache_key=None) -> ParamTable:
+                      cache_key=None, probe: bool = False,
+                      probe_rows_are_intensity: bool = False):
     """Evaluates ``row_fn(vals (P,)) -> (Nq,)`` over the cartesian product
     of the log-spaced *grids* (blockwise, one jitted vmap executable).
 
     *cache_key* memoizes the built table within the process.
+
+    With ``probe=True`` the bake is gated by the interpolation-soundness
+    probe (probe_interp_errors / probe_is_fit_grade): returns **None**
+    when production-spacing interpolation of this row function cannot
+    meet the fit-grade contract — callers then fall back to the exact
+    in-loop quadrature path.  Declines are memoized per cache key.
     """
     grids = [np.asarray(g, np.float64) for g in grids]
     dtype = jnp.dtype(dtype)
@@ -170,6 +180,8 @@ def build_param_table(row_fn, grids, dtype=jnp.float32, block: int = 256,
         key = (cache_key, tuple((len(g), float(g[0]), float(g[-1]))
                                 for g in grids), dtype.name)
         hit = _TABLE_CACHE.get(key)
+        if hit is _DECLINED:
+            return None
         if hit is not None:
             return _cast(hit)
         disk_path = _disk_cache_path(key)
@@ -178,6 +190,21 @@ def build_param_table(row_fn, grids, dtype=jnp.float32, block: int = 256,
             hit = _cast(hit)
             _TABLE_CACHE[key] = hit
             return hit
+    if probe:
+        errs = probe_interp_errors(
+            row_fn, grids, dtype, block=block,
+            rows_are_intensity=probe_rows_are_intensity)
+        if not probe_is_fit_grade(errs):
+            import logging
+            logging.getLogger("mcsas_tpu").info(
+                "param table declined by interpolation probe (median "
+                "%.2g, p90 %.2g vs contract %g/%g at 2x margin) — "
+                "falling back to in-loop quadrature",
+                float(np.median(errs)), float(np.percentile(errs, 90)),
+                FIT_GRADE_MEDIAN, FIT_GRADE_P90)
+            if key is not None:
+                _TABLE_CACHE[key] = _DECLINED
+            return None
     if grids:
         mesh = np.meshgrid(*grids, indexing="ij")
         pts = np.stack([m.ravel() for m in mesh], axis=-1)
@@ -239,6 +266,104 @@ def make_lookup(axes, tab_params):
         tab = ParamTable(values=values, axes=axes)
         return lookup_param_table(tab, [pdict[n] for n in tab_params])
     return fn
+
+
+def probe_interp_errors(row_fn, grids, dtype=jnp.float32, n_probe: int = 8,
+                        seed: int = 7, rows_are_intensity: bool = False,
+                        block: int = 64) -> np.ndarray:
+    """Bake-time soundness probe: per-element intensity-weighted relative
+    errors of PRODUCTION-SPACING multilinear interpolation at random
+    off-grid points, measured BEFORE paying for the full bake.
+
+    Some row functions are not interpolable at any sane resolution: the
+    legacy ψ-grid cylinder variants preserve the reference's wedge /
+    in-plane orientation rules (models/cylinders.py), whose rows
+    oscillate along the parameter axes with phase ~q·L — at
+    q_max·L_max ≫ n_nodes the table aliases pure noise (measured:
+    doubling the radius axis 512→1024 left p90 error at 0.73).  The
+    probe evaluates, for each of *n_probe* log-uniform interior points,
+    the exact row and the multilinear blend of the 2^P surrounding
+    grid-corner rows, and returns the flat array of the same error
+    metric the accuracy tests use (|Δff²| / (ff² + 1e-6·rowmax)).
+    Cost: n_probe·(2^P + 1) row evaluations — negligible next to the
+    bake."""
+    grids = [np.asarray(g, np.float64) for g in grids]
+    if not grids:
+        return np.zeros(1)
+    rng = np.random.default_rng(seed)
+    lgs = [np.log(g) for g in grids]
+    pts, corner_sets, weight_sets = [], [], []
+    for _ in range(n_probe):
+        # an interior point, uniform in log within a random grid cell
+        idx = [rng.integers(0, len(g) - 1) if len(g) > 1 else 0
+               for g in grids]
+        fr = rng.uniform(0.25, 0.75, len(grids))
+        lp = [lg[i] + f * (lg[min(i + 1, len(lg) - 1)] - lg[i])
+              for lg, i, f in zip(lgs, idx, fr)]
+        pts.append(np.exp(lp))
+        corners, weights = [[]], [1.0]
+        new_c, new_w = [], []
+        for k, (lg, i, f) in enumerate(zip(lgs, idx, fr)):
+            if len(lg) == 1:
+                new_c = [c + [lg[0]] for c in corners]
+                new_w = list(weights)
+            else:
+                new_c = ([c + [lg[i]] for c in corners]
+                         + [c + [lg[i + 1]] for c in corners])
+                new_w = ([w * (1.0 - f) for w in weights]
+                         + [w * f for w in weights])
+            corners, weights = new_c, new_w
+        corner_sets.append(np.exp(np.asarray(corners)))
+        weight_sets.append(np.asarray(weights))
+    eval_pts = np.concatenate([np.asarray(pts)]
+                              + [cs for cs in corner_sets], axis=0)
+    n_eval = len(eval_pts)
+    # pad to the bake's block size so the probe and the bake share ONE
+    # jitted executable (cold-start compile budget)
+    pad = (-n_eval) % block
+    if pad:
+        eval_pts = np.concatenate(
+            [eval_pts, np.repeat(eval_pts[-1:], pad, axis=0)])
+    fn = jax.jit(jax.vmap(row_fn))
+    rows = np.concatenate(
+        [np.asarray(fn(jnp.asarray(eval_pts[i:i + block], dtype)),
+                    np.float64)
+         for i in range(0, len(eval_pts), block)], axis=0)[:n_eval]
+    exact_rows, corner_rows = rows[:n_probe], rows[n_probe:]
+    errs = []
+    off = 0
+    for i in range(n_probe):
+        ws = weight_sets[i]
+        blend = (corner_rows[off:off + len(ws)] * ws[:, None]).sum(axis=0)
+        off += len(ws)
+        if rows_are_intensity:          # smeared tables store ff²·w
+            e2, a2 = exact_rows[i], blend
+        else:                           # amplitude rows: compare ff²
+            e2, a2 = exact_rows[i] ** 2, blend ** 2
+        floor = 1e-6 * max(e2.max(), 1e-300)
+        errs.append(np.abs(a2 - e2) / (np.abs(e2) + floor))
+    return np.concatenate(errs)
+
+
+# Fit-grade interpolation contract (the accuracy tests assert exactly
+# this on random points); the factory engagement check applies it to the
+# probe with a 2x safety margin so engaged tables pass with headroom.
+FIT_GRADE_MEDIAN = 1e-3
+FIT_GRADE_P90 = 5e-2
+
+
+def probe_is_fit_grade(errs: np.ndarray, margin: float = 2.0) -> bool:
+    """True when probe errors meet the fit-grade contract with *margin*
+    (see probe_interp_errors).  MCSAS_TPU_TABLE_PROBE=off bypasses the
+    check (always engage), =strict sets margin 1."""
+    import os
+    mode = os.environ.get("MCSAS_TPU_TABLE_PROBE", "")
+    if mode == "off":
+        return True
+    if mode == "strict":
+        margin = 1.0
+    return bool(np.median(errs) <= FIT_GRADE_MEDIAN / margin
+                and np.percentile(errs, 90) <= FIT_GRADE_P90 / margin)
 
 
 def param_product_range(bound, name_or_value) -> tuple:

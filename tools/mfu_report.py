@@ -53,7 +53,6 @@ def _sphere_flops_per_step(cfg, nq):
 
 
 def measure_kernel_throughput(k_cand=128, label="k128"):
-    import jax
     import mcsas_tpu as mt
     from mcsas_tpu.config import McSASConfig
     from mcsas_tpu.core.engine import McSASEngine

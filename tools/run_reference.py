@@ -29,7 +29,6 @@ Usage:
         [--contribs N] [--seed-reps] [--out fixture.json]
 """
 import argparse
-import json
 import os
 import shutil
 import subprocess
