@@ -30,8 +30,12 @@ def _setup_default_compile_cache():
         try:
             os.makedirs(path, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", path)
+            # threshold 0: behind a remote compile service the LOCAL
+            # measured compile time is the RPC wrapper's, often near 0 —
+            # any positive threshold can silently filter every entry
+            # (a full test-suite run at 0.1 s wrote zero cache entries)
             jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 0.5)
+                "jax_persistent_cache_min_compile_time_secs", 0.0)
         except Exception:  # pragma: no cover - cache is best-effort
             pass
 

@@ -20,7 +20,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="mcsas_tpu",
         description="TPU-native Monte Carlo size-distribution retrieval "
                     "for small-angle scattering data")
-    p.add_argument("filenames", nargs="+", help="data files to fit")
+    # nargs="*": --list-models must work without a data file; the
+    # fit path validates non-emptiness itself
+    p.add_argument("filenames", nargs="*", help="data files to fit")
     p.add_argument("-m", "--model", default="Sphere",
                    help="model name (see --list-models)")
     p.add_argument("-o", "--outdir", default=None,
@@ -138,6 +140,9 @@ def main(argv=None) -> int:
             active = ",".join(m.default_active)
             print(f"{name:36s} active=[{active}]  {m.doc}")
         return 0
+    if not args.filenames:
+        build_parser().error("the following arguments are required: "
+                             "filenames")
 
     cfg = McSASConfig()
     if args.config:

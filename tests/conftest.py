@@ -30,7 +30,11 @@ except RuntimeError:  # no cpu backend — fall back to whatever exists
 
 _REPO = pathlib.Path(__file__).resolve().parent.parent
 jax.config.update("jax_compilation_cache_dir", str(_REPO / ".jax_cache_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+# threshold 0, NOT 0.1: the remote compile service makes the locally
+# measured compile time the RPC wrapper's (often <0.1 s), so a nonzero
+# threshold silently filters every entry — a full suite run at 0.1 s
+# wrote 0 cache entries (measured 2026-08-18)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import pytest  # noqa: E402
 
