@@ -564,6 +564,22 @@ def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
     pos_bg = cfg.positive_background
     n_fit = int(engine.consts.n)
 
+    # With local moves the chunk_fn GATHERS state.rset in XLA (the
+    # segment-start slot values the local proposals are centered on)
+    # while the kernel's aliased output overwrites that same buffer
+    # in place.  Inside the single-launch drive (a lax.while_loop over
+    # chunk bodies on the real chip) this read-vs-donated-write pair
+    # silently corrupts the trajectory: accepted improvements are
+    # partially lost and repetitions grind 10-100x the proposals
+    # (measured: Kholodenko 94.4M vs 2.2M total proposals, identical
+    # seed; host-loop launches of the SAME chunk_fn are clean, and
+    # interpret mode does not reproduce it — same family as the
+    # init-fusion hazard in CLAUDE.md).  Fix: when a local-move gather
+    # exists, rset is NOT aliased — it stays a read-only input and the
+    # kernel copies it into the fresh output block at segment start
+    # (one (R, N, P) VMEM copy per segment, ~36 KB at the bench shape).
+    alias_rset = engine._k_local() == 0
+
     def kernel(y_ref, u_ref, sc_ref, slots_ref,
                rows_in, cands_in, rset_in, ibank_in, ft_in, fstate_in,
                istate_in,
@@ -576,7 +592,7 @@ def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
         blk = pl.program_id(0)
         off = blk * jnp.int32(rb)
         s = pl.program_id(1)
-        del rset_in, ibank_in, ft_in, fstate_in, istate_in
+        del ibank_in, ft_in, fstate_in, istate_in
 
         y3 = y_ref[:].reshape(1, 1, nq)
         u3 = u_ref[:].reshape(1, 1, nq)
@@ -584,10 +600,16 @@ def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
         s_uy = sc_ref[1]
         ri = slots_ref[s]
 
-        # drift-free segment start: rebuild totals from the bank
+        # drift-free segment start: rebuild totals from the bank; the
+        # un-aliased rset output starts uninitialized and is seeded from
+        # the read-only input block here
         @pl.when(s == jnp.int32(0))
         def _():
             ft_ref[pl.ds(off, rb)] = jnp.sum(ibank_ref[:], axis=1)
+            if not alias_rset:
+                rset_ref[:] = rset_in[:]
+        if alias_rset:
+            del rset_in
 
         kiota = jax.lax.broadcasted_iota(jnp.int32, (rb, k_cand), 1)
         rows = rows_in[0]                              # (rb, K, nq)
@@ -691,7 +713,9 @@ def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
             full((n_reps, 8)),
             full((n_reps, 8)),
         ),
-        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4},
+        input_output_aliases=({6: 0, 7: 1, 8: 2, 9: 3, 10: 4}
+                              if alias_rset
+                              else {7: 1, 8: 2, 9: 3, 10: 4}),
         interpret=interpret,
     )
 

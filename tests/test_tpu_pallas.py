@@ -130,3 +130,47 @@ def test_init_drive_matches_manual_chunks(refdata, on_tpu):
     assert np.array_equal(np.asarray(state.n_moves),
                           np.asarray(st.n_moves))
     assert np.array_equal(np.asarray(state.rset), np.asarray(st.rset))
+
+
+@slow
+def test_prefetch_local_moves_drive_matches_host_loop(refdata, on_tpu):
+    """The single-launch drive must reproduce the host-loop trajectory
+    for the prefetch kernel WITH local moves at the production shape.
+
+    Regression for a second aliasing hazard (round 4): with local moves
+    the chunk_fn gathers state.rset in XLA while the kernel's aliased
+    output overwrote the same buffer in place; inside the while_loop
+    drive this silently corrupted the trajectory on the real chip —
+    Kholodenko ground 94.4M proposals instead of 2.2M (43x) at identical
+    seeds, while host-loop launches of the same chunk_fn were clean and
+    interpret mode did not reproduce it.  The kernel now keeps rset
+    un-aliased whenever a local-move gather exists (mc_kernel.py
+    alias_rset); this certifies drive == host loop bitwise at the shape
+    that exposed the bug (10 reps, K=128, local_moves=0.75)."""
+    import jax.numpy as jnp
+    d = data.load(refdata / "sasfit_kho-1-10-1000.dat")
+    bound = get_model("Kholodenko").bind()
+    cfg = McSASConfig(num_contribs=300, num_reps=10,
+                      max_iterations=24_000_000, chunk_steps=1024,
+                      candidates_per_step=128, seed=2026, max_retries=0,
+                      local_moves=0.75, show_incomplete=True,
+                      use_pallas="auto")
+    eng = McSASEngine(d, bound, cfg)
+    if not eng.uses_prefetch:
+        pytest.skip("prefetch kernel not engaged for this config")
+    state, ri, _ = eng._init_drive(cfg.seed)
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), cfg.num_reps)
+    st = eng._init_batch(keys)
+    rj = jnp.zeros((), jnp.int32)
+    crit = cfg.convergence_criterion
+    for _ in range(10_000):
+        conval = np.asarray(st.conval)
+        n_iter = np.asarray(st.n_iter)
+        if not np.any((conval > crit) & (n_iter < cfg.max_iterations)):
+            break
+        st, rj = eng._chunk_batch(st, rj)
+    assert np.array_equal(np.asarray(state.n_iter), np.asarray(st.n_iter))
+    assert np.array_equal(np.asarray(state.rset), np.asarray(st.rset))
+    # the grind signature of the bug: any rep needing >10x the healthy
+    # proposal budget (~200k/rep at this shape) means state corruption
+    assert int(np.asarray(state.n_iter).max()) < 2_000_000
