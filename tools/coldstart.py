@@ -53,9 +53,11 @@ elif tier == "kholodenko-table":
 else:
     raise SystemExit(f"unknown tier {{tier}}")
 
-cfg = McSASConfig(num_contribs=300, num_reps=10, max_iterations=8_000_000,
-                  chunk_steps=2048, candidates_per_step=128, seed=2026,
-                  max_retries=1, show_incomplete=True, **extra)
+kw = dict(num_contribs=300, num_reps=10, max_iterations=8_000_000,
+          chunk_steps=2048, candidates_per_step=128, seed=2026,
+          max_retries=1, show_incomplete=True)
+kw.update(extra)
+cfg = McSASConfig(**kw)
 t0 = time.perf_counter()
 res = mt.fit(data, model=bound, cfg=cfg)
 cold = time.perf_counter() - t0
@@ -87,7 +89,8 @@ def run_tier(tier: str, fresh_cache: bool) -> dict:
     # executable handed to the backend (persistent-cache hits included:
     # the count is the number of distinct programs a fresh fit() NEEDS,
     # which is the budget VERDICT asks for)
-    names = re.findall(r"Compiling ([\w<>\[\]\-.]+)", r.stderr)
+    names = re.findall(r"Compiling (jit\([^)]*\)|[\w<>\[\]\-.]+) with",
+                       r.stderr)
     result = {}
     for line in r.stdout.splitlines():
         line = line.strip()

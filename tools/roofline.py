@@ -4,30 +4,35 @@
 
 Measures, on the real chip:
 
-1. **Fused Pallas kernel** (sphere headline shape): steps/s timed on
-   kernel-only chunk launches; FLOPs/step calibrated from XLA's own
-   ``cost_analysis()`` of the mathematically identical XLA scan path
-   (same candidate evaluation, same closed-form solve — the Pallas
-   kernel's math is a transcription, so the XLA flop count is an honest
-   count for it).  Reports achieved FLOP/s and the fraction of the VPU
-   f32 ceiling — the MC chain has ZERO MXU-shaped work (no matmuls; the
-   q-axis reductions are length-Nq dot products folded into the VPU),
-   so MXU peak is reported only as context.
+1. **Fused Pallas kernel** (sphere headline shape): sustained step rate
+   from a fixed-budget single-launch drive (the production path — no
+   per-chunk RTT in the measurement), against an ANALYTIC per-element
+   op count (documented below; XLA's CPU ``cost_analysis()`` was tried
+   first and reports ~0.4 flop/element for the scan path — it does not
+   see through the fused elementwise graph, so it is useless here).
 2. **Prefetch kernel** (cylinders table tier): same, plus the HBM
    roofline — this kernel STREAMS the (S, R, K, Nq) candidate-row bank
    from HBM, so its ceiling is bandwidth, not compute.
 3. **K=256 A/B** (the intensity-raising lever): full headline fit at
    candidates_per_step 128 vs 256 — wall clock, proposals, convergence.
 
-Peaks used (TPU v5e, public figures): 197 TFLOP/s bf16 MXU,
-~819 GB/s HBM.  The VPU f32 ceiling is derived: 8 sublanes x 128 lanes
-x 4 ALUs x 2 (FMA) x ~0.94 GHz ~= 7.7 TFLOP/s; transcendentals
-(sin/cos/exp2) retire well below 1/flop, so the fused kernel's real
-ceiling sits below that — the point of the measurement is to show the
-headroom argument either way.
+Analytic op model (per (R, K, Nq) element):
+
+* fused sphere kernel: ff eval ``x=qr; 3(sin x − x cos x)/x³`` ≈ 7 flops
+  + 1 sin + 1 cos; row ``min(ff²·w, clamp)`` 3; incremental total
+  ``ft − old + row`` 2; solve sums ``ux, Σux, Σux·x, Σux·y`` 6;
+  residual+χ² ``u(y−ax−b)²`` 6 → **24 flops + 2 transcendentals**.
+* prefetch kernel (in-kernel only): 2 + 6 + 6 = **14 flops**; the
+  row-gather/interp stage runs in XLA and is bandwidth-dominated.
+
+Peaks used (TPU v5e, public figures): 197 TFLOP/s bf16 MXU, 819 GB/s
+HBM.  The VPU f32 issue ceiling is derived: 8 sublanes x 128 lanes x
+4 ALUs x 2 (FMA) x ~0.94 GHz ≈ 7.7 TFLOP/s.  The MC chain has ZERO
+MXU-shaped work (no matmuls — the q-axis reductions are length-Nq dot
+products folded into the VPU), so MXU peak is context only.
 
 Run AFTER the test suite (one TPU process at a time — CLAUDE.md).
-Prints one JSON line per section plus a markdown-ready summary.
+Prints one JSON line per section.
 """
 import json
 import os
@@ -46,41 +51,20 @@ PEAK_HBM = 819e9
 PEAK_VPU_F32 = 8 * 128 * 4 * 2 * 0.94e9     # ~7.7e12, derivation above
 
 
-def _sync(x):
-    return np.asarray(jax.tree_util.tree_leaves(x)[0])
-
-
-def _time_chunks(eng, state, ri, n_chunks, steps_per_call):
-    """Wall time per MC step over n_chunks dependent chunk launches."""
-    # warm-up launch (compile + first-launch overheads)
-    state, ri = eng._chunk_batch(state, ri)
-    _sync(state.conval)
+def _sustained(eng, budget_iters):
+    """Sustained seconds/step on the production single-launch drive:
+    convergence_criterion=0 keeps every repetition live, so the drive
+    runs exactly ``budget_iters`` proposals per rep in ONE launch."""
+    state, ri, packed = eng._init_drive(eng.cfg.seed)      # warm/compile
+    np.asarray(packed)
     t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        state, ri = eng._chunk_batch(state, ri)
-    _sync(state.conval)
-    dt = time.perf_counter() - t0
-    return dt / (n_chunks * steps_per_call), state
-
-
-def _xla_flops_per_step(data, bound, cfg):
-    """XLA-counted FLOPs for ONE MC step: cost_analysis of the scan-path
-    chunk executable (identical math to the Pallas kernels), divided by
-    chunk_steps.  Compiled on the CPU backend — the flop count is a
-    property of the HLO, not the target."""
-    from mcsas_tpu.core.engine import McSASEngine
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        eng = McSASEngine(data, bound, cfg.replace(use_pallas="off"))
-        keys = jax.random.split(jax.random.PRNGKey(0), cfg.num_reps)
-        state = eng._init_batch(keys)
-        ri = jnp.zeros((), jnp.int32)
-        lowered = jax.jit(eng._run_chunk_batched).lower(
-            state, ri, eng.grid, eng.consts)
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-    return float(cost["flops"]) / cfg.chunk_steps, eng
+    state, ri, packed = eng._init_drive(eng.cfg.seed)
+    np.asarray(packed)
+    wall = time.perf_counter() - t0
+    n_iter = int(np.asarray(state.n_iter).max())
+    assert n_iter >= budget_iters, (n_iter, budget_iters)
+    steps = n_iter / eng.cfg.candidates_per_step
+    return wall / steps, wall
 
 
 def fused_section():
@@ -92,36 +76,36 @@ def fused_section():
     data = mt.load(os.path.join(_REPO, "testdata",
                                 "sasfit_sphere-10-1.dat"))
     bound = get_model("Sphere").bind()
+    budget = 8_000_000
     cfg = McSASConfig(num_contribs=300, num_reps=10,
-                      max_iterations=2 ** 30, chunk_steps=2048,
+                      max_iterations=budget, chunk_steps=2048,
                       candidates_per_step=128, seed=2026,
                       convergence_criterion=0.0,   # keep every step live
-                      local_moves=0.5)
-    flops_step, _ = _xla_flops_per_step(data, bound, cfg)
-
+                      show_incomplete=True, local_moves=0.5)
     eng = McSASEngine(data, bound, cfg)
     assert eng.uses_pallas, "headline engine must ride the fused kernel"
-    keys = jax.random.split(jax.random.PRNGKey(0), cfg.num_reps)
-    state = eng._init_batch(keys)
-    ri = jnp.zeros((), jnp.int32)
-    s_step, _ = _time_chunks(eng, state, ri, n_chunks=8,
-                             steps_per_call=cfg.chunk_steps)
-    achieved = flops_step / s_step
+    s_step, wall = _sustained(eng, budget)
+
     r, k = cfg.num_reps, cfg.candidates_per_step
     nq = int(eng.grid.shape[0])
+    elems = r * k * nq
+    elems_per_s = elems / s_step
+    flops = 24.0 * elems_per_s
+    transc = 2.0 * elems_per_s
     out = {
         "section": "fused-pallas-sphere",
         "shape": {"R": r, "K": k, "Nq": nq, "N": cfg.num_contribs},
-        "flops_per_step_xla": round(flops_step),
-        "flops_per_elem": round(flops_step / (r * k * nq), 1),
         "us_per_step": round(s_step * 1e6, 3),
-        "proposals_per_sec": round(k / s_step),
-        "achieved_tflops": round(achieved / 1e12, 3),
-        "pct_vpu_f32_peak": round(100 * achieved / PEAK_VPU_F32, 1),
-        "pct_mxu_bf16_peak": round(100 * achieved / PEAK_BF16_MXU, 2),
+        "proposals_per_sec_all_reps": round(r * k / s_step),
+        "candidate_elems_per_sec": round(elems_per_s / 1e9, 2),
+        "achieved_gflops_analytic": round(flops / 1e9, 1),
+        "transcendental_pairs_per_sec_g": round(transc / 2e9, 2),
+        "pct_vpu_f32_peak": round(100 * flops / PEAK_VPU_F32, 2),
+        "pct_mxu_bf16_peak": round(100 * flops / PEAK_BF16_MXU, 3),
         "hbm_bytes_per_step": 0,
-        "note": "state fully VMEM-resident; ceiling = VPU transcendental "
-                "throughput (2 sin/cos per element), not HBM",
+        "note": "state fully VMEM-resident; the chunk is a strict chain "
+                "of dependent steps (~1.3 MFLOP each), so the kernel is "
+                "latency/occupancy-bound, not FLOP- or HBM-bound",
     }
     print(json.dumps(out), flush=True)
     return out
@@ -133,48 +117,47 @@ def prefetch_section():
     from mcsas_tpu.config import McSASConfig
     from mcsas_tpu.core.engine import McSASEngine
     from mcsas_tpu.models import get_model
-    from mcsas_tpu.ops.mc_kernel import pad_lanes, prefetch_seg_steps
+    from mcsas_tpu.ops.mc_kernel import pad_lanes
 
     nm = 1e-9
     data = synth_golden("cylinder")
     bound = get_model("CylindersIsotropic").bind(
         active=("radius",), active_ranges={"radius": (0.5 * nm, 300 * nm)})
+    budget = 2_000_000
     cfg = McSASConfig(num_contribs=300, num_reps=10,
-                      max_iterations=2 ** 30, chunk_steps=1024,
+                      max_iterations=budget, chunk_steps=1024,
                       candidates_per_step=128, seed=2026,
-                      convergence_criterion=0.0, table_ff="on")
-    flops_step, _ = _xla_flops_per_step(data, bound, cfg)
-
+                      convergence_criterion=0.0, show_incomplete=True,
+                      table_ff="on")
     eng = McSASEngine(data, bound, cfg)
     assert eng.uses_prefetch, "cylinder engine must ride the prefetch kernel"
-    seg = prefetch_seg_steps(eng)
-    keys = jax.random.split(jax.random.PRNGKey(0), cfg.num_reps)
-    state = eng._init_batch(keys)
-    ri = jnp.zeros((), jnp.int32)
-    s_step, _ = _time_chunks(eng, state, ri, n_chunks=8,
-                             steps_per_call=seg)
-    achieved = flops_step / s_step
+    s_step, wall = _sustained(eng, budget)
+
     r, k = cfg.num_reps, cfg.candidates_per_step
     nq = pad_lanes(int(eng.consts.y.shape[0]))
-    bytes_step = r * k * nq * 4            # streamed candidate rows
-    ai = flops_step / bytes_step
-    hbm_cap = ai * PEAK_HBM                # roofline: flops/s at BW peak
+    elems = r * k * nq
+    flops = 14.0 * elems / s_step
+    # HBM traffic per step: the streamed candidate-row block is written
+    # by the XLA stage and read back by the kernel (2x), plus the
+    # table-gather read of 2 interpolation rows per candidate in XLA
+    bytes_step = (2 + 2) * r * k * nq * 4
+    ai = flops * s_step / bytes_step
+    bw = bytes_step / s_step
     out = {
         "section": "prefetch-pallas-cylinder-table",
-        "shape": {"R": r, "K": k, "Nq": nq, "seg": seg},
-        "flops_per_step_xla": round(flops_step),
+        "shape": {"R": r, "K": k, "Nq": nq},
         "us_per_step": round(s_step * 1e6, 3),
-        "proposals_per_sec": round(k / s_step),
-        "achieved_tflops": round(achieved / 1e12, 3),
+        "proposals_per_sec_all_reps": round(r * k / s_step),
+        "achieved_gflops_analytic_kernel_only": round(flops / 1e9, 1),
         "hbm_bytes_per_step": bytes_step,
-        "achieved_gbps": round(bytes_step / s_step / 1e9, 1),
-        "pct_hbm_peak": round(100 * (bytes_step / s_step) / PEAK_HBM, 1),
+        "achieved_gbps": round(bw / 1e9, 1),
+        "pct_hbm_peak": round(100 * bw / PEAK_HBM, 1),
         "arith_intensity_flops_per_byte": round(ai, 2),
-        "roofline_cap_tflops_at_peak_bw": round(hbm_cap / 1e12, 3),
-        "pct_of_bw_roofline": round(100 * achieved / hbm_cap, 1),
-        "note": "rows streamed from HBM; includes the XLA row-eval + "
-                "draw stage of each segment launch (end-to-end step "
-                "cost, not kernel-only)",
+        "note": "end-to-end step cost incl. the XLA row-gather/draw "
+                "stage; the streamed row bank makes this path "
+                "bandwidth-shaped (AI ~ 3.5 f/B in-kernel), but at this "
+                "problem size it too is latency-bound, far from either "
+                "roof",
     }
     print(json.dumps(out), flush=True)
     return out
@@ -221,8 +204,7 @@ def k_ab_section():
 
 
 if __name__ == "__main__":
-    import jax
-    import jax.numpy as jnp
+    import jax  # noqa: F401  (initialize backend once, in-process)
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
     sections = {"fused": fused_section, "prefetch": prefetch_section,
                 "kab": k_ab_section}
