@@ -177,8 +177,17 @@ def build_param_table(row_fn, grids, dtype=jnp.float32, block: int = 256,
 
     key = disk_path = None
     if cache_key is not None:
+        import os
+
+        # the probe outcome is part of the cache identity: a table baked
+        # with the probe bypassed (MCSAS_TPU_TABLE_PROBE=off) must never
+        # be served to a probe-gated caller (it was never certified),
+        # and a memoized decline must not mask a later bypassed bake —
+        # so the key carries the EFFECTIVE probe mode
+        mode = os.environ.get("MCSAS_TPU_TABLE_PROBE", "")
+        probe_tag = f"probe:{mode}" if (probe and mode != "off") else ""
         key = (cache_key, tuple((len(g), float(g[0]), float(g[-1]))
-                                for g in grids), dtype.name)
+                                for g in grids), dtype.name, probe_tag)
         hit = _TABLE_CACHE.get(key)
         if hit is _DECLINED:
             return None

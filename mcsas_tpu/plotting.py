@@ -119,7 +119,10 @@ def plot_results(result, output_filename: Optional[str] = None,
     ax.set_xlim(q_disp.min() * (1.0 - axis_margin),
                 q_disp.max() * (1.0 + axis_margin))
     f = np.asarray(d.f, np.float64)
-    nz = f[f != 0.0]
+    # strictly positive floor: background-subtracted data can carry
+    # negative points (f_mask_neg defaults off) and a non-positive
+    # lower limit is silently ignored on a log axis
+    nz = f[f > 0.0]
     if nz.size:
         ax.set_ylim(nz.min() * (1.0 - axis_margin),
                     f.max() * (1.0 + axis_margin))
@@ -153,7 +156,10 @@ def plot_results(result, output_filename: Optional[str] = None,
                 ha="right", va="top",
                 bbox=dict(boxstyle="round", fc="w", alpha=0.7))
 
-    fig.tight_layout()
+    # tight_layout is incompatible with the axis("off") info strip and
+    # only warns; lay the panels out against the gridspec instead of
+    # spraying a UserWarning on every plot call
+    gs.tight_layout(fig)
     if output_filename:
         fig.savefig(output_filename)
         log.info("wrote plot to %s", output_filename)

@@ -62,6 +62,11 @@ def _compile_service_alive(timeout: float) -> bool:
         "jax.config.update('jax_default_device', jax.devices('cpu')[0]);"
         "jax.config.update('jax_compilation_cache_dir', "
         f"{str(_REPO / '.jax_cache_cpu')!r});"
+        # threshold 0 or the probe's own compile is never persisted
+        # (remote-compile RPC wrapper times are <0.1 s) and the
+        # warm-cache-during-outage design below never engages
+        "jax.config.update("
+        "'jax_persistent_cache_min_compile_time_secs', 0.0);"
         "print(jax.jit(lambda a: (a * 3 + 1).sum())(jnp.ones((17,))))"
     )
     try:

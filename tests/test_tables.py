@@ -312,10 +312,13 @@ def test_engine_table_off_matches_legacy_path(sphere_data):
     assert np.all(np.isfinite(res.conval))
 
 
-def test_probe_engages_smooth_declines_oscillatory():
+def test_probe_engages_smooth_declines_oscillatory(monkeypatch):
     """probe_interp_errors separates interpolable from aliasing row
     functions at production spacing: smooth-in-log rows engage, rows
     oscillating faster than the node spacing decline."""
+    # the env bypass (MCSAS_TPU_TABLE_PROBE=off) would short-circuit the
+    # decline assertion below
+    monkeypatch.delenv("MCSAS_TPU_TABLE_PROBE", raising=False)
     grid = tables.log_grid(1.0, 100.0, 64)
     smooth = tables.probe_interp_errors(
         lambda v: jnp.exp(-jnp.log(v[0]) ** 2 / 8.0) * jnp.ones((4,)),

@@ -58,7 +58,12 @@ def processEventLoop():
 
 def prepare_tree(workdir: str) -> str:
     """Copies the reference package into *workdir* and applies the two
-    py3 shims.  Returns the sys.path root."""
+    py3 shims.  Returns the sys.path root.
+
+    Deliberate exception to the no-copy rule (CLAUDE.md): the copy is a
+    THROWAWAY under a temp dir, exists only to EXECUTE the reference for
+    cross-validation (VERDICT r3 #4), and none of it enters the repo —
+    the committed fixture holds numerical results only."""
     pkg = os.path.join(workdir, "mcsas")
     shutil.copytree(os.path.join(REFERENCE, "src", "mcsas"), pkg)
     fut = os.path.join(workdir, "future")
