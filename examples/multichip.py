@@ -20,12 +20,22 @@ from mcsas_tpu.parallel import make_mesh
 
 
 def main(path):
-    n_dev = len(jax.devices())
-    print(f"{n_dev} devices: {jax.devices()[0].platform}")
+    # pick the platform exposing the most devices: plugins that ignore
+    # JAX_PLATFORMS (e.g. a remote-attached single chip) would otherwise
+    # shadow the virtual CPU mesh this demo asks for
+    devices = jax.devices()
+    try:
+        cpus = jax.devices("cpu")
+        if len(cpus) > len(devices):
+            devices = cpus
+    except RuntimeError:
+        pass
+    n_dev = len(devices)
+    print(f"{n_dev} devices: {devices[0].platform}")
     # rep-only layout (n_dev × 1): zero collectives; use
     # (n_dev // 2, 2) to also shard the q axis on very fine grids —
     # every tier (quadrature, param-table, smeared) shards either way
-    mesh = make_mesh((n_dev, 1))
+    mesh = make_mesh((n_dev, 1), devices)
 
     data = mt.load(path)
     cfg = McSASConfig(num_contribs=300, num_reps=2 * n_dev,

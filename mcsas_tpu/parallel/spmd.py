@@ -61,7 +61,14 @@ class ShardedEnsemble(McSASEngine):
         # prefetched-proposal kernel instead (local moves included).
         from ..ops import mc_kernel
         n_rep_axis = self.mesh.shape["rep"]
+        # the kernels must target the MESH's platform, not the default
+        # device: a CPU mesh while a TPU is attached (make_mesh's CPU
+        # fallback, tests, demos) would otherwise dispatch a Mosaic
+        # kernel on the CPU backend ("Only interpret mode is supported")
+        mesh_platform = self.mesh.devices.flat[0].platform
         rep_layout = (cfg.use_pallas != "off"
+                      and (mesh_platform == "tpu"
+                           or cfg.use_pallas == "on")
                       and self.mesh.shape["q"] == 1
                       and cfg.num_reps % n_rep_axis == 0)
         fused_ok = rep_layout and mc_kernel.supports(self) and (
@@ -152,7 +159,16 @@ class ShardedEnsemble(McSASEngine):
             # baseline to the prefetch stream must chunk at this value
             self._prefetch_seg = (mc_kernel.prefetch_seg_steps(local)
                                   if self._prefetch_shard else 0)
-            local_chunk = local._chunk_batch
+            if mesh_platform != "tpu":
+                # rebuild for the mesh's platform: the clone's default
+                # build keyed interpret-mode off the DEFAULT device
+                local_chunk = (
+                    mc_kernel.build_prefetch_chunk_fn(local,
+                                                      interpret=True)
+                    if self._prefetch_shard
+                    else mc_kernel.build_chunk_fn(local, interpret=True))
+            else:
+                local_chunk = local._chunk_batch
 
             sm_pallas = jax.shard_map(
                 lambda st, ri0: local_chunk(st, ri0),

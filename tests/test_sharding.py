@@ -100,11 +100,20 @@ def test_mesh_too_big_raises(cpus):
 
 def test_pallas_rep_sharding(setup, cpus):
     """Fused kernel inside shard_map over the rep axis (interpret mode on
-    CPU): must run, descend and respect ranges."""
+    CPU): must run, descend and respect ranges.
+
+    use_pallas='on' (forced): 'auto' engages the kernels only on TPU
+    meshes — on a CPU mesh the interpret-mode kernel is strictly slower
+    than the XLA scan path, and a CPU mesh while a TPU is attached
+    (make_mesh's fallback) must not dispatch Mosaic on the CPU backend."""
     d, bound, cfg = setup
-    cfg = cfg.replace(use_pallas="auto", num_reps=4)
+    cfg = cfg.replace(use_pallas="on", num_reps=4)
     se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((4, 1), cpus))
     assert se._pallas_shard
+    # and 'auto' on this CPU mesh takes the XLA shard path instead
+    assert not ShardedEnsemble(
+        d, bound, cfg.replace(use_pallas="auto"),
+        mesh=make_mesh((4, 1), cpus))._pallas_shard
     res = se.run()
     assert np.all(np.isfinite(res.conval))
     assert np.all(res.n_moves > 0)
