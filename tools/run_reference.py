@@ -83,7 +83,8 @@ _RUNNER = r'''
 import json, sys, time
 import numpy as np
 
-workdir, datafile, n_contribs, n_reps, max_iter, out = sys.argv[1:7]
+(workdir, datafile, n_contribs, n_reps, max_iter, out,
+ model_name) = sys.argv[1:8]
 n_contribs, n_reps, max_iter = int(n_contribs), int(n_reps), int(max_iter)
 sys.path.insert(0, workdir)
 
@@ -93,28 +94,39 @@ logging.getLogger().setLevel(logging.WARNING)
 
 from mcsas.mcsas.mcsas import McSAS
 from mcsas.datafile import loaddatafile
-from mcsas.models.sphere import Sphere
 from mcsas.utils.parameter import Histogram
 
 # the reference's own loader chain (GUI path): tolerant ASCII parse →
 # SASData with uncertainty floor + log rebin
 data = loaddatafile(datafile).getDataObj()
-est = data.sphericalSizeEst()
+try:
+    est = data.sphericalSizeEst()
+except Exception:
+    est = (float("nan"), float("nan"))
 
 algo = McSAS.factory()()
-model = Sphere()
-model.radius.setActive(True)
-# the model's own default activeRange (1-1000 nm, RandomUniform —
-# models/sphere.py:16-26), identical to mcsas_tpu's Sphere ParamSpec:
-# both MCs then search the same space
-lo, hi = model.radius.activeRange()
+if model_name == "gaussianchain":
+    # rg active by the model's own __init__ (RandomExponential 1-100 nm
+    # — the same logdec1 transform as mcsas_tpu's ParamSpec)
+    from mcsas.models.gaussianchain import GaussianChain
+    model = GaussianChain()
+    fitpar = model.rg
+else:
+    from mcsas.models.sphere import Sphere
+    model = Sphere()
+    fitpar = model.radius
+fitpar.setActive(True)
+# the model's own default activeRange (e.g. sphere 1-1000 nm,
+# models/sphere.py:16-26), identical to mcsas_tpu's ParamSpec: both MCs
+# then search the same space
+lo, hi = fitpar.activeRange()
 # the GUI adds histograms via the range list; default shape: 50 bins,
 # log x, one volume- and one number-weighted (Histogram defaults)
-model.radius.histograms().append(
-    Histogram(model.radius, lo, hi, binCount=50, xscale="log",
+fitpar.histograms().append(
+    Histogram(fitpar, lo, hi, binCount=50, xscale="log",
               yweight="vol"))
-model.radius.histograms().append(
-    Histogram(model.radius, lo, hi, binCount=50, xscale="log",
+fitpar.histograms().append(
+    Histogram(fitpar, lo, hi, binCount=50, xscale="log",
               yweight="num"))
 algo.model = model
 algo.data = data
@@ -136,7 +148,7 @@ def arr(v):
     return np.asarray(v, np.float64).tolist() if v is not None else None
 
 hists = {}
-for h in model.radius.histograms():
+for h in fitpar.histograms():
     m = h.moments
     hists[h.yweight] = {
         "xLowerEdge": arr(h.xLowerEdge),
@@ -155,7 +167,7 @@ times = np.asarray(r.get("times", []), np.float64)
 fix = {
     "workload": {"datafile": datafile, "numContribs": n_contribs,
                  "numReps": n_reps, "maxIterations": max_iter,
-                 "convergenceCriterion": 1.0,
+                 "convergenceCriterion": 1.0, "model": model_name,
                  "activeRange_m": [float(lo), float(hi)],
                  "sizeEstimate_m": [float(est[0]), float(est[1])]},
     "host_elapsed_s": elapsed,
@@ -179,6 +191,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quickstart", action="store_true",
                     help="use quickstartdemo1.csv (the 36 s workload)")
+    ap.add_argument("--model", default="sphere",
+                    choices=("sphere", "gaussianchain"),
+                    help="reference model family to fit")
     ap.add_argument("--contribs", type=int, default=None)
     ap.add_argument("--reps", type=int, default=None)
     ap.add_argument("--max-iter", type=int, default=100000)
@@ -192,6 +207,12 @@ def main():
         default_out = "testdata/reference_quickstart_fixture.json"
         # quickstart defaults (doc/source/quickstart.rst): 300 x 10
         contribs = args.contribs or 300
+        reps = args.reps or 10
+    elif args.model == "gaussianchain":
+        datafile = os.path.join(REFERENCE, "testdata",
+                                "sasfit_gauss2-5-1.5-2-1.dat")
+        default_out = "testdata/reference_gauss_fixture.json"
+        contribs = args.contribs or 200
         reps = args.reps or 10
     else:
         datafile = os.path.join(REFERENCE, "testdata",
@@ -211,7 +232,8 @@ def main():
         t0 = time.time()
         rc = subprocess.run(
             [sys.executable, "-u", "-c", _RUNNER, workdir, datafile,
-             str(args.contribs), str(args.reps), str(args.max_iter), out],
+             str(args.contribs), str(args.reps), str(args.max_iter), out,
+             args.model],
             timeout=args.timeout).returncode
         print(f"reference run rc={rc} in {time.time() - t0:.1f}s")
         return rc
