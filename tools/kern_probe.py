@@ -11,6 +11,11 @@ structure and measures where the other ~11 µs live:
   prng        — + one hardware-PRNG draw (R, K) per iteration
   ff          — + sphere ff eval on (R, K, Nq) (2 transcendentals/elem)
   solve       — + the closed-form chi2 solve reductions
+  solve_mom   — like solve, but chi2 via the moment identity
+                (chi2 = s_uyy − 2a·s_xy + a²·s_xx from the sums already
+                computed) instead of the residual pass: measures the
+                ceiling of that optimization BEFORE committing to its
+                f32-cancellation risk in production
   writes      — + the dynamic-slice state writes (the full step)
 
 Each rung times `chunk_steps` iterations in one kernel launch, repeated
@@ -49,18 +54,18 @@ def build(level: str):
         kiota = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
 
         def body(step, ri):
-            if level in ("prng", "ff", "solve", "writes"):
+            if level != "loop":
                 bits = pltpu.bitcast(
                     pltpu.prng_random_bits((R, K)), jnp.int32)
                 u24 = jax.lax.shift_right_logical(bits, jnp.int32(8))
                 urand = u24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
-            if level in ("ff", "solve", "writes"):
+            if level in ("ff", "solve", "solve_mom", "writes"):
                 r_c = (1.0 + urand)[:, :, None] * jnp.float32(1e1)
                 x = q3 * r_c                                  # (R,K,NQ)
                 s, c = jnp.sin(x), jnp.cos(x)
                 ffv = 3.0 * (s - x * c) / (x * x * x)
                 rows = jnp.minimum(ffv * ffv, jnp.float32(1e30))
-            if level in ("solve", "writes"):
+            if level in ("solve", "solve_mom", "writes"):
                 old = ibank_ref[:, pl.ds(ri, 1), :]
                 ft = ft_ref[:]
                 xt = ft[:, None, :] - old + rows
@@ -69,8 +74,14 @@ def build(level: str):
                 s_xx = jnp.sum(ux * xt, axis=2)
                 s_xy = jnp.sum(ux * y3, axis=2)
                 a = s_xy / jnp.maximum(s_xx, jnp.float32(1e-30))
-                res = y3 - a[:, :, None] * xt
-                chi2 = jnp.sum(u3 * res * res, axis=2)
+                if level == "solve_mom":
+                    # chi2 from the sums already in hand (s_uyy is a
+                    # data constant, folded to 1.0 here): removes the
+                    # residual pass and its (R, K, Nq) reduction
+                    chi2 = jnp.float32(1.0) - 2.0 * a * s_xy + a * a * s_xx
+                else:
+                    res = y3 - a[:, :, None] * xt
+                    chi2 = jnp.sum(u3 * res * res, axis=2)
                 min_chi = jnp.min(chi2, axis=1, keepdims=True)
                 onehot = (kiota == jnp.min(
                     jnp.where(chi2 <= min_chi, kiota, jnp.int32(K)),
@@ -92,7 +103,7 @@ def build(level: str):
             elif level == "ff":
                 ft_ref[:] = (ft_ref[:]
                              + jnp.sum(rows, axis=1) * jnp.float32(1e-38))
-            elif level == "solve":
+            elif level in ("solve", "solve_mom"):
                 ft_ref[:] = (ft_ref[:]
                              + jnp.sum(onehot, axis=1, keepdims=True)
                              * jnp.float32(1e-38))
@@ -143,7 +154,7 @@ def build(level: str):
 def main():
     import jax
     import jax.numpy as jnp
-    for level in ("loop", "prng", "ff", "solve", "writes"):
+    for level in ("loop", "prng", "ff", "solve", "solve_mom", "writes"):
         launch = build(level)
         ibank = jnp.zeros((R, N, NQ), jnp.float32)
         ft = jnp.zeros((R, NQ), jnp.float32)
