@@ -106,9 +106,14 @@ def test_fit_accepts_path_and_default_model(refdata):
 
 def test_cli_list_models(capsys):
     from mcsas_tpu.cli import main
-    assert main(["--list-models", "dummy"]) == 0
+    # works WITHOUT a data file (round 4: filenames are nargs='*' so
+    # informational flags stand alone); a fit without files still errors
+    assert main(["--list-models"]) == 0
     out = capsys.readouterr().out
     assert "Sphere" in out and "Kholodenko" in out
+    with pytest.raises(SystemExit) as e:
+        main([])
+    assert e.value.code == 2
 
 
 _USER_MODEL_SRC = """
@@ -306,3 +311,28 @@ def test_cli_mesh_rejects_garbage(capsys):
     rc = main(["nofile.dat", "--mesh", "banana", "--nolog"])
     assert rc == 2
     assert "bad --mesh" in capsys.readouterr().err
+
+
+def test_plot_negative_intensity_no_warnings(tmp_path):
+    """Background-subtracted data can carry negative I points
+    (f_mask_neg defaults off): the fit-panel y-floor must use the
+    smallest POSITIVE intensity or matplotlib silently drops the
+    log-axis limit, and the layout must not warn on the axis-off info
+    strip (round-4 fixes)."""
+    import warnings
+
+    from mcsas_tpu.config import McSASConfig
+    from mcsas_tpu.plotting import plot_results
+    raw = np.column_stack([np.geomspace(0.1, 1, 40),
+                           np.linspace(1.0, -0.1, 40),   # negative tail
+                           0.05 * np.ones(40)])
+    d = mt.from_raw(raw, title="neg-tail")
+    cfg = McSASConfig(num_contribs=8, num_reps=2, max_iterations=2000,
+                      chunk_steps=64, candidates_per_step=2, seed=5,
+                      convergence_criterion=1e9, show_incomplete=True)
+    res = mt.fit(d, model="Sphere", cfg=cfg)
+    out = tmp_path / "neg.pdf"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        plot_results(res, output_filename=str(out))
+    assert out.exists()

@@ -394,3 +394,32 @@ def test_psi_grid_table_accuracy_narrow(name, active, ranges, qmax,
                        q_grid=q_narrow)
     assert np.median(errs) < 1e-3
     assert np.percentile(errs, 90) < 5e-2
+
+
+def test_probe_outcome_isolated_in_cache_keys(tmp_path, monkeypatch):
+    """A table baked with the probe BYPASSED must never be served to a
+    probe-gated caller, and a memoized decline must not mask a later
+    bypassed bake (round 4: the cache key carries the effective probe
+    mode, memory AND disk)."""
+    monkeypatch.setenv("MCSAS_TPU_TABLE_CACHE_DIR", str(tmp_path))
+    monkeypatch.delenv("MCSAS_TPU_TABLE_PROBE", raising=False)
+    grid = tables.log_grid(1.0, 100.0, 64)
+    osc = lambda v: jnp.sin(300.0 * jnp.log(v[0])) * jnp.ones((4,))  # noqa
+
+    key = ("probe-isolation-test",)
+    # probe-gated: declines (and memoizes the decline)
+    assert tables.build_param_table(osc, [grid], cache_key=key,
+                                    probe=True) is None
+    # bypassed: bakes and persists — the decline memo must not mask it
+    monkeypatch.setenv("MCSAS_TPU_TABLE_PROBE", "off")
+    t_off = tables.build_param_table(osc, [grid], cache_key=key,
+                                     probe=True)
+    assert t_off is not None
+    # probe-gated again: must STILL decline (not served the off-bake),
+    # both from the in-process memo and from a cleared memo hitting disk
+    monkeypatch.delenv("MCSAS_TPU_TABLE_PROBE", raising=False)
+    assert tables.build_param_table(osc, [grid], cache_key=key,
+                                    probe=True) is None
+    tables._TABLE_CACHE.clear()
+    assert tables.build_param_table(osc, [grid], cache_key=key,
+                                    probe=True) is None
