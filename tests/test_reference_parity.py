@@ -220,17 +220,31 @@ _FIXTURES = {
                    "quickstartdemo1.csv"),
     "sphere10": ("reference_sphere10_fixture.json",
                  "sasfit_sphere-10-1.dat"),
+    # generated with --model gaussianchain --no-rebin: nBin=0 + the
+    # explicit fuMin floor is the one reference-supported route on which
+    # its own gauss2 dataset is genuinely fittable (the default binned
+    # path hits the σ=−1 rebin bug, PARITY.md)
+    "gauss": ("reference_gauss_fixture.json",
+              "sasfit_gauss2-5-1.5-2-1.dat"),
 }
+
+# fixture workload "model" field → our registry name
+_MODEL_NAMES = {"sphere": "Sphere", "gaussianchain": "GaussianChain"}
 
 
 def _crossval_engine_run(fix, refdata, dataset, **variant):
-    d = data.load(refdata / dataset)
+    # mirror the reference run's data pipeline: noRebin fixtures were fit
+    # on the sanitized (un-binned) grid with the fuMin floor applied
+    dcfg = (data.DataConfig(n_bin=0)
+            if fix["workload"].get("noRebin") else None)
+    d = data.load(refdata / dataset, config=dcfg)
     lo, hi = fix["workload"]["activeRange_m"]
     # both pipelines must derive the same fit grid; the reference ran on
-    # the Sphere model's own default active range, which must equal our
-    # ParamSpec default (1-1000 nm)
+    # the model's own default active range, which must equal our
+    # ParamSpec default
     np.testing.assert_allclose(d.q, np.asarray(fix["fitX0"]), rtol=1e-9)
-    bound = get_model("Sphere").bind()
+    model_name = _MODEL_NAMES[fix["workload"].get("model", "sphere")]
+    bound = get_model(model_name).bind()
     np.testing.assert_allclose(bound.ranges[0], [lo, hi], rtol=1e-12)
     n_reps = int(fix["workload"]["numReps"])
     cfg = McSASConfig(num_contribs=int(fix["workload"]["numContribs"]),
@@ -280,7 +294,7 @@ def test_crossval_histograms_match_reference(crossval_run, weight):
     fix, d, bound, cfg, res = crossval_run
     edges_ref, y_ref, moments_ref = _fixture_hist(fix, weight)
     lo, hi = fix["workload"]["activeRange_m"]
-    spec = HistogramSpec("radius", lo, hi, bin_count=len(y_ref),
+    spec = HistogramSpec(bound.active[0], lo, hi, bin_count=len(y_ref),
                          xscale="log", yweight=weight,
                          auto_follow=False).resolved(bound)
     _, hists = histogram_all(res.contribs, d, bound, cfg, [spec])

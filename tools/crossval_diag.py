@@ -32,7 +32,11 @@ FIXTURES = {
                    "quickstartdemo1.csv"),
     "sphere10": ("reference_sphere10_fixture.json",
                  "sasfit_sphere-10-1.dat"),
+    "gauss": ("reference_gauss_fixture.json",
+              "sasfit_gauss2-5-1.5-2-1.dat"),
 }
+
+MODEL_NAMES = {"sphere": "Sphere", "gaussianchain": "GaussianChain"}
 
 VARIANTS = {
     "k1-ref-stepping": dict(candidates_per_step=1),
@@ -46,9 +50,12 @@ def main():
         if which and which != name:
             continue
         fix = json.loads((REPO / "testdata" / fixfile).read_text())
-        d = data.load(REPO / "testdata" / dataset)
+        dcfg = (data.DataConfig(n_bin=0)
+                if fix["workload"].get("noRebin") else None)
+        d = data.load(REPO / "testdata" / dataset, config=dcfg)
         lo, hi = fix["workload"]["activeRange_m"]
-        bound = get_model("Sphere").bind()
+        bound = get_model(
+            MODEL_NAMES[fix["workload"].get("model", "sphere")]).bind()
         n_reps = int(fix["workload"]["numReps"])
         n_contribs = int(fix["workload"]["numContribs"])
         for vname, kw in VARIANTS.items():
@@ -90,7 +97,7 @@ def main():
                 y_ref = np.asarray(h_ref["yMean"])
                 obs = np.asarray(h_ref["observability"], np.float64) \
                     if h_ref.get("observability") is not None else None
-                spec = HistogramSpec("radius", lo, hi,
+                spec = HistogramSpec(bound.active[0], lo, hi,
                                      bin_count=len(y_ref), xscale="log",
                                      yweight=weight,
                                      auto_follow=False).resolved(bound)

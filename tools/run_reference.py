@@ -84,8 +84,9 @@ import json, sys, time
 import numpy as np
 
 (workdir, datafile, n_contribs, n_reps, max_iter, out,
- model_name) = sys.argv[1:8]
+ model_name, no_rebin) = sys.argv[1:9]
 n_contribs, n_reps, max_iter = int(n_contribs), int(n_reps), int(max_iter)
+no_rebin = int(no_rebin)
 sys.path.insert(0, workdir)
 
 import logging
@@ -99,6 +100,20 @@ from mcsas.utils.parameter import Histogram
 # the reference's own loader chain (GUI path): tolerant ASCII parse →
 # SASData with uncertainty floor + log rebin
 data = loaddatafile(datafile).getDataObj()
+if no_rebin:
+    # Disable the log rebin (reference supports nBin<=0: dataobj.py:298-302
+    # resets binnedData to None; q/I/sigma fall back to the sanitized
+    # vectors) AND apply the fuMin uncertainty floor (dataobj.py:204-226).
+    # Upstream the floor only fires as the fuMin value-update callback
+    # (dataconfig.py:117-118,144) — i.e. when a user touches the spinbox —
+    # and _reBin never re-runs after it (its only call site is
+    # updateConfig, dataobj.py:186), so binned sigma stays raw (-1 on
+    # gauss2/kho files).  nBin=0 + an explicit floor is therefore the one
+    # reference-supported route on which those files are genuinely
+    # fittable: sanitizedU reads the floored siDataU lazily at fit time.
+    data.config.nBin.setValue(0)
+    data._reBin()
+    data._prepareUncertainty()
 try:
     est = data.sphericalSizeEst()
 except Exception:
@@ -111,6 +126,12 @@ if model_name == "gaussianchain":
     from mcsas.models.gaussianchain import GaussianChain
     model = GaussianChain()
     fitpar = model.rg
+elif model_name == "kholodenko":
+    # radius+lenKuhn+lenContour all active by the model's own __init__
+    # (kholodenko.py:76-80); histograms follow radius
+    from mcsas.models.kholodenko import Kholodenko
+    model = Kholodenko()
+    fitpar = model.radius
 else:
     from mcsas.models.sphere import Sphere
     model = Sphere()
@@ -168,6 +189,7 @@ fix = {
     "workload": {"datafile": datafile, "numContribs": n_contribs,
                  "numReps": n_reps, "maxIterations": max_iter,
                  "convergenceCriterion": 1.0, "model": model_name,
+                 "noRebin": bool(no_rebin),
                  "activeRange_m": [float(lo), float(hi)],
                  "sizeEstimate_m": [float(est[0]), float(est[1])]},
     "host_elapsed_s": elapsed,
@@ -194,6 +216,9 @@ def main():
     ap.add_argument("--model", default="sphere",
                     choices=("sphere", "gaussianchain"),
                     help="reference model family to fit")
+    ap.add_argument("--no-rebin", action="store_true",
+                    help="disable the log rebin (nBin=0) — bypasses the "
+                    "reference's sigma=-1 rebin bug on gauss2/kho files")
     ap.add_argument("--contribs", type=int, default=None)
     ap.add_argument("--reps", type=int, default=None)
     ap.add_argument("--max-iter", type=int, default=100000)
@@ -233,7 +258,7 @@ def main():
         rc = subprocess.run(
             [sys.executable, "-u", "-c", _RUNNER, workdir, datafile,
              str(args.contribs), str(args.reps), str(args.max_iter), out,
-             args.model],
+             args.model, str(int(args.no_rebin))],
             timeout=args.timeout).returncode
         print(f"reference run rc={rc} in {time.time() - t0:.1f}s")
         return rc
