@@ -336,3 +336,34 @@ def test_plot_negative_intensity_no_warnings(tmp_path):
         warnings.simplefilter("error", UserWarning)
         plot_results(res, output_filename=str(out))
     assert out.exists()
+
+
+def test_plot_algo_info_and_partial_curves(tmp_path):
+    """Round-4 plot parity features (reference plotting.py:281-303,
+    407-411): the algorithm-information strip carries the fitted
+    scaling/background/χ²/timing, and show_reps draws one partial curve
+    per repetition."""
+    from mcsas_tpu.config import McSASConfig
+    from mcsas_tpu.plotting import _format_algo_info, plot_results
+    raw = np.column_stack([np.geomspace(0.1, 1, 40),
+                           np.linspace(1.0, 0.5, 40),
+                           0.05 * np.ones(40)])
+    d = mt.from_raw(raw, title="info-panel")
+    cfg = McSASConfig(num_contribs=8, num_reps=3, max_iterations=2000,
+                      chunk_steps=64, candidates_per_step=2, seed=7,
+                      convergence_criterion=1e9, show_incomplete=True)
+    res = mt.fit(d, model="Sphere", cfg=cfg)
+    info = _format_algo_info(res)
+    for token in ("info-panel", "Background level", "Scaling factor",
+                  "Timing: 3 repetitions", "Reduced χ²", "radius"):
+        assert token in info, f"missing {token!r} in algo info:\n{info}"
+    fig = plot_results(res, output_filename=str(tmp_path / "reps.pdf"),
+                       show_reps=True, auto_close=False)
+    try:
+        fit_ax = fig.axes[1]          # [0] is the info strip
+        # data errorbar + 3 partial curves + MC fit mean + legend stub
+        assert sum(1 for ln in fit_ax.get_lines()
+                   if ln.get_color() == "b") >= 3
+    finally:
+        import matplotlib.pyplot as plt
+        plt.close(fig)

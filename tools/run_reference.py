@@ -214,7 +214,7 @@ def main():
     ap.add_argument("--quickstart", action="store_true",
                     help="use quickstartdemo1.csv (the 36 s workload)")
     ap.add_argument("--model", default="sphere",
-                    choices=("sphere", "gaussianchain"),
+                    choices=("sphere", "gaussianchain", "kholodenko"),
                     help="reference model family to fit")
     ap.add_argument("--no-rebin", action="store_true",
                     help="disable the log rebin (nBin=0) — bypasses the "
@@ -237,6 +237,12 @@ def main():
         datafile = os.path.join(REFERENCE, "testdata",
                                 "sasfit_gauss2-5-1.5-2-1.dat")
         default_out = "testdata/reference_gauss_fixture.json"
+        contribs = args.contribs or 200
+        reps = args.reps or 10
+    elif args.model == "kholodenko":
+        datafile = os.path.join(REFERENCE, "testdata",
+                                "sasfit_kho-1-10-1000.dat")
+        default_out = "testdata/reference_kho_fixture.json"
         contribs = args.contribs or 200
         reps = args.reps or 10
     else:
