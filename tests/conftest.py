@@ -29,7 +29,17 @@ except RuntimeError:  # no cpu backend — fall back to whatever exists
     pass
 
 _REPO = pathlib.Path(__file__).resolve().parent.parent
-jax.config.update("jax_compilation_cache_dir", str(_REPO / ".jax_cache_cpu"))
+# The suite shares the PACKAGE's persistent compile cache: importing
+# mcsas_tpu re-points jax_compilation_cache_dir to this path
+# (mcsas_tpu/__init__.py::_setup_default_compile_cache), so a repo-local
+# dir here would be dead config — only programs compiled before the
+# first mcsas_tpu import would ever land in it (measured 2026-08-19: a
+# full suite run left 3 entries in a repo-local dir and ~950 in the
+# package one).  Resolution mirrors _setup_default_compile_cache.
+_CACHE_DIR = os.environ.get("MCSAS_TPU_COMPILE_CACHE") or str(
+    pathlib.Path.home() / ".cache" / "mcsas_tpu_xla")
+if _CACHE_DIR.lower() != "off":
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 # threshold 0, NOT 0.1: the remote compile service makes the locally
 # measured compile time the RPC wrapper's (often <0.1 s), so a nonzero
 # threshold silently filters every entry — a full suite run at 0.1 s
@@ -53,15 +63,18 @@ def _compile_service_alive(timeout: float) -> bool:
     import subprocess
     import sys
     env = dict(os.environ)
-    # same cache the suite uses, so a warm cache passes the probe even
-    # during an outage — but the probe program must NOT be one the suite
-    # compiles (a hit would prove nothing about uncached programs), so
-    # it uses a shape/op combination nothing else builds
+    # same cache the suite uses (the package default — see _CACHE_DIR
+    # above), so a warm cache passes the probe even during an outage —
+    # but the probe program must NOT be one the suite compiles (a hit
+    # would prove nothing about uncached programs), so it uses a
+    # shape/op combination nothing else builds
+    cache_cfg = (
+        "jax.config.update('jax_compilation_cache_dir', "
+        f"{_CACHE_DIR!r});" if _CACHE_DIR.lower() != "off" else "")
     probe = (
         "import jax, jax.numpy as jnp;"
         "jax.config.update('jax_default_device', jax.devices('cpu')[0]);"
-        "jax.config.update('jax_compilation_cache_dir', "
-        f"{str(_REPO / '.jax_cache_cpu')!r});"
+        + cache_cfg +
         # threshold 0 or the probe's own compile is never persisted
         # (remote-compile RPC wrapper times are <0.1 s) and the
         # warm-cache-during-outage design below never engages

@@ -18,8 +18,9 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
-jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# compile cache: the mcsas_tpu import below points
+# jax_compilation_cache_dir at the package default
+# (mcsas_tpu/__init__.py::_setup_default_compile_cache)
 
 from mcsas_tpu import data
 from mcsas_tpu.config import McSASConfig
