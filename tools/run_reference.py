@@ -89,9 +89,13 @@ n_contribs, n_reps, max_iter = int(n_contribs), int(n_reps), int(max_iter)
 no_rebin = int(no_rebin)
 sys.path.insert(0, workdir)
 
-import logging
-logging.basicConfig(level=logging.WARNING)
-logging.getLogger().setLevel(logging.WARNING)
+import logging, os
+# INFO exposes the reference's 2 Hz hot-loop progress lines
+# (mcsas/mcsas.py:392-401) — essential visibility on the SLOW families
+# (Kholodenko's adaptive quad runs minutes per 1k iterations)
+_lvl = getattr(logging, os.environ.get("MCSAS_REF_LOGLEVEL", "WARNING"))
+logging.basicConfig(level=_lvl)
+logging.getLogger().setLevel(_lvl)
 
 from mcsas.mcsas.mcsas import McSAS
 from mcsas.datafile import loaddatafile
