@@ -392,3 +392,79 @@ def test_crossval_headline_observables(refdata):
     z = np.abs(eng_mean - np.asarray(fix["fitMeasValMean"])) \
         / np.where(fu == 0, 1.0, fu)
     assert float(z.max()) < 3.0
+
+
+# ------------------------------------------------- ff-curve crossval (r4)
+
+_FF_FIXTURE = _TESTDATA / "reference_ff_fixture.json"
+
+# Tolerance vs the reference's OWN model code (tools/run_reference_ff.py
+# evaluates /root/reference/src/mcsas/models/*.py on deterministic
+# parameter draws).  Analytic families agree to float64 roundoff; the
+# quadrature families to the rule mismatch (reference trapz/linspace +
+# endpoint hacks vs our `where`-based limits; reference adaptive
+# scipy quad vs our Filon–Simpson/Boole rule for Kholodenko; the tilted
+# phi centroids run through scipy.stats.norm.interval upstream).
+_FF_RTOL = {
+    "Sphere": 1e-9,
+    "SphericalCoreShell": 1e-9,
+    "GaussianChain": 1e-9,
+    "LMADenseSphere": 1e-9,
+    "EllipsoidsIsotropic": 1e-9,
+    "EllipsoidalCoreShell": 1e-9,
+    "CylindersIsotropic": 1e-6,
+    "CylindersRadiallyIsotropic": 1e-6,
+    "Kholodenko": 5e-6,
+    "CylindersRadiallyIsotropicTilted": 1e-3,
+}
+
+
+def _ff_entries(family):
+    if not _FF_FIXTURE.exists():
+        pytest.skip("reference ff fixture not generated "
+                    "(tools/run_reference_ff.py)")
+    fix = json.loads(_FF_FIXTURE.read_text())
+    return np.asarray(fix["q"], np.float64), fix["models"][family]
+
+
+def _our_curve(family, q, params):
+    import jax
+    model = get_model(family)
+    full = model.defaults()
+    full.update({k: (1.0 if v is True else 0.0 if v is False else float(v))
+                 for k, v in params.items()})
+    ff = np.asarray(jax.jit(lambda qq: model.ff(qq, full))(
+        np.asarray(q, np.float64)))
+    return ff, float(model.volume(full))
+
+
+@pytest.mark.parametrize("family", sorted(_FF_RTOL))
+def test_crossval_formfactor_curves(family):
+    """Every model family's ff(q) and volume against the running
+    reference implementation itself — not a re-derivation."""
+    q, entries = _ff_entries(family)
+    for e in entries:
+        ref = np.asarray(e["ff"], np.float64)
+        assert np.isfinite(ref).all(), "unexpected non-finite reference ff"
+        got, vol = _our_curve(family, q, e["params"])
+        np.testing.assert_allclose(got, ref, rtol=_FF_RTOL[family],
+                                   err_msg=str(e["params"]))
+        assert vol == pytest.approx(e["volume"], rel=1e-12)
+
+
+def test_crossval_aspect_cylinders_broken_upstream():
+    """The reference's CylindersIsotropicAspect formfactor is
+    unconditionally NaN (its psi grid starts at sin(0)=0 so the first
+    column is 0/0, and numpy.mean propagates it to every q; it also
+    double-converts the already-SI psi by dToR —
+    cylindersisotropicaspect.py:50-72).  Ours is the working equivalent;
+    document the upstream breakage and check we stay finite on the same
+    draws (working-here / broken-upstream column, PARITY.md)."""
+    q, entries = _ff_entries("CylindersIsotropicAspect")
+    for e in entries:
+        ref = np.asarray(e["ff"], np.float64)
+        assert np.isnan(ref).all(), \
+            "upstream fixed their NaN bug? re-evaluate this anchor"
+        got, vol = _our_curve("CylindersIsotropicAspect", q, e["params"])
+        assert np.isfinite(got).all() and (got > 0).all()
+        assert vol == pytest.approx(e["volume"], rel=1e-12)
