@@ -468,3 +468,102 @@ def test_crossval_aspect_cylinders_broken_upstream():
         got, vol = _our_curve("CylindersIsotropicAspect", q, e["params"])
         assert np.isfinite(got).all() and (got > 0).all()
         assert vol == pytest.approx(e["volume"], rel=1e-12)
+
+
+# ------------------------------------------- deterministic post crossval
+
+_HIST_FIXTURE = _TESTDATA / "reference_hist_fixture.json"
+
+
+def test_crossval_post_analysis_deterministic():
+    """The post-fit analysis is a deterministic function of
+    (data, contributions), so — unlike the MC fixtures, where the RNG
+    streams force statistical tolerances — the reference's own
+    McSAS.histogram machinery (mcsas.py:445-615, utils/parameter.py:
+    349-479) and ours must agree at SOLVER precision on identical
+    inputs (SURVEY §7 step 6).  tools/run_reference_hist.py ran the
+    actual reference on a fixed log-uniform contribution set and its
+    own binned sphere-10 data; both are in the fixture, so this feeds
+    bit-identical inputs into mcsas_tpu's post.histogram_all.
+
+    Measured agreement (round 4): bin edges bitwise, fractions /
+    observability / histogram bars / CDFs / moments <= 2.3e-9 rel, the
+    scale factor <= 3e-9 rel; only the reference's BACKGROUND carries
+    its scipy-LM convergence tolerance (~2e-5 rel) against our exact
+    closed-form solve."""
+    if not _HIST_FIXTURE.exists():
+        pytest.skip("reference hist fixture not generated "
+                    "(tools/run_reference_hist.py)")
+    fix = json.loads(_HIST_FIXTURE.read_text())
+    wl = fix["workload"]
+    assert wl["findBackground"] and not wl["positiveBackground"]
+
+    # identical input 1: the reference's own binned fit grid (SI) —
+    # n_bin=0 + zero floor passes the vectors through untouched
+    q = np.asarray(fix["q_binned"], np.float64)
+    f = np.asarray(fix["f_binned"], np.float64)
+    fu = np.asarray(fix["fu_binned"], np.float64)
+    raw = np.column_stack([q * 1e-9, f, fu])
+    d = data.from_raw(raw, title="ref-binned",
+                      config=data.DataConfig(n_bin=0, fu_min=0.0))
+    # q round-trips through the nm^-1 display unit (one ulp); f/fu are
+    # SI pass-through
+    np.testing.assert_allclose(d.q, q, rtol=1e-14)
+    np.testing.assert_array_equal(d.f, f)
+    np.testing.assert_array_equal(d.fu, fu)
+
+    # identical input 2: the fixed contribution set, (N, P, R) -> (R, N, P)
+    contribs = np.transpose(np.asarray(fix["contribs"], np.float64),
+                            (2, 0, 1))
+    bound = get_model("Sphere").bind()
+    cfg = McSASConfig()
+    assert cfg.compensation_exponent == pytest.approx(
+        wl["compensationExponent"], rel=1e-12)
+    specs = [HistogramSpec(param="radius", lower=h["lower"],
+                           upper=h["upper"], bin_count=h["binCount"],
+                           xscale=h["xscale"], yweight=h["yweight"])
+             for h in fix["histograms"]]
+    fractions, hists = histogram_all(contribs, d, bound, cfg, specs)
+
+    # scaling: exact closed form vs the reference's scipy LM
+    sc_ref = np.asarray(fix["scaling"], np.float64)
+    np.testing.assert_allclose(fractions.scaling[0], sc_ref[0], rtol=1e-7)
+    np.testing.assert_allclose(fractions.scaling[1], sc_ref[1], rtol=1e-3,
+                               atol=1e-9 * np.abs(f).max())
+
+    # per-contribution fractions and observability limits (unnormalized
+    # vol weighting — num/int/surf are covered via totals + histograms)
+    np.testing.assert_allclose(fractions.fraction["vol"],
+                               np.asarray(fix["volumeFraction"]),
+                               rtol=1e-7)
+    np.testing.assert_allclose(fractions.min_req["vol"],
+                               np.asarray(fix["minReqVol"]), rtol=1e-7)
+    for w in ("vol", "num", "int", "surf"):
+        np.testing.assert_allclose(fractions.total[w],
+                                   np.asarray(fix["totals"][w]),
+                                   rtol=1e-7, err_msg=w)
+
+    for h_ref, h in zip(fix["histograms"], hists):
+        lbl = f'{h_ref["yweight"]}-{h_ref["xscale"]}'
+        np.testing.assert_allclose(h.x_lower_edge,
+                                   np.asarray(h_ref["xLowerEdge"]),
+                                   rtol=1e-12, err_msg=lbl)
+        bins_ref = np.asarray(h_ref["binsFull"], np.float64)
+        scale = max(np.abs(bins_ref).max(), 1e-300)
+        np.testing.assert_allclose(h.bins.full, bins_ref, rtol=1e-7,
+                                   atol=1e-7 * scale, err_msg=lbl)
+        obs_ref = np.asarray(h_ref["observability"], np.float64)
+        np.testing.assert_allclose(
+            h.observability, obs_ref, rtol=1e-7,
+            atol=1e-7 * max(np.abs(obs_ref).max(), 1e-300), err_msg=lbl)
+        np.testing.assert_allclose(h.cdf.full,
+                                   np.asarray(h_ref["cdfFull"]),
+                                   atol=1e-12, err_msg=lbl)
+        mom_ref = h_ref["moments"]
+        for k in ("total", "mean", "variance", "skew", "kurtosis"):
+            ref_pair = np.asarray(mom_ref[k], np.float64)
+            got_pair = np.asarray(getattr(h.moments, k), np.float64)
+            np.testing.assert_allclose(
+                got_pair, ref_pair, rtol=1e-6,
+                atol=1e-6 * max(np.abs(ref_pair).max(), 1e-300),
+                err_msg=f"{lbl}:{k}")
