@@ -567,3 +567,63 @@ def test_crossval_post_analysis_deterministic():
                 got_pair, ref_pair, rtol=1e-6,
                 atol=1e-6 * max(np.abs(ref_pair).max(), 1e-300),
                 err_msg=f"{lbl}:{k}")
+
+
+# ------------------------------------------------- smearing-path crossval
+
+_SMEAR_FIXTURE = _TESTDATA / "reference_smear_fixture.json"
+
+
+def _smear_cases():
+    if not _SMEAR_FIXTURE.exists():
+        return []
+    return json.loads(_SMEAR_FIXTURE.read_text())["cases"]
+
+
+@pytest.mark.parametrize("case", _smear_cases(),
+                         ids=lambda c: c["name"])
+def test_crossval_smearing_path(case):
+    """The smearing pipeline — integration grid construction
+    (setIntPoints), the locs matrix (prepareSmearing) and the smeared
+    intensity branch of calcIntensity — against the reference's own
+    running code (tools/run_reference_smear.py), for all four geometry
+    combinations: {Trapezoid, Gaussian} x {slit, 2D-averaged}.
+
+    Measured agreement (round 4): binned q and the locs matrix BITWISE;
+    smeared single-contribution intensities <= 7.3e-10 rel (our
+    precomputed (ff^2 w) @ smear_w contraction vs the reference's
+    2 trapz(ff^2 w weights, qOffset))."""
+    fix = json.loads(_SMEAR_FIXTURE.read_text())
+    p = case["params"]
+    if case["kind"] == "trap":
+        sm = data.TrapezoidSmearing(do_smear=True, n_steps=25,
+                                    two_d_coll=p["twoDColl"],
+                                    umbra=p["umbra"],
+                                    penumbra=p["penumbra"])
+    else:
+        sm = data.GaussianSmearing(do_smear=True, n_steps=25,
+                                   two_d_coll=p["twoDColl"],
+                                   variance=p["variance"])
+    d = data.load("/root/reference/testdata/sasfit_sphere-10-1.dat",
+                  config=data.DataConfig(smearing=sm))
+    np.testing.assert_allclose(d.q, np.asarray(case["q_binned"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(d.locs, np.asarray(case["locs"]),
+                               rtol=1e-12)
+
+    import jax
+    import jax.numpy as jnp
+    model = get_model("Sphere")
+    comp2 = 2.0 * fix["compExp"]
+    ffj = jax.jit(lambda g, params: model.ff(g, params))
+    for srow in case["smeared"]:
+        params = model.defaults()
+        params["radius"] = srow["radius"]
+        ff = np.asarray(ffj(jnp.asarray(d.locs), params))
+        w = float(model.volume(params)) ** comp2
+        it = (ff * ff * w) @ np.asarray(d.smear_w)
+        it_ref = np.asarray(srow["it"], np.float64).ravel()
+        np.testing.assert_allclose(
+            it, it_ref, rtol=1e-7,
+            atol=1e-8 * np.abs(it_ref).max(),
+            err_msg=f'{case["name"]} r={srow["radius"]}')
