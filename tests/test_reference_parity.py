@@ -627,3 +627,89 @@ def test_crossval_smearing_path(case):
             it, it_ref, rtol=1e-7,
             atol=1e-8 * np.abs(it_ref).max(),
             err_msg=f'{case["name"]} r={srow["radius"]}')
+
+
+# ------------------------------------------------------- I/O crossval
+
+_IO_FIXTURE = _TESTDATA / "reference_io_fixture.json"
+
+
+def _io_fixture():
+    if not _IO_FIXTURE.exists():
+        pytest.skip("reference io fixture not generated "
+                    "(tools/run_reference_io.py)")
+    return json.loads(_IO_FIXTURE.read_text())
+
+
+def _io_files():
+    if not _IO_FIXTURE.exists():
+        return []
+    return sorted(json.loads(_IO_FIXTURE.read_text())["files"])
+
+
+@pytest.mark.parametrize("native", [False, True],
+                         ids=["python", "native"])
+@pytest.mark.parametrize("name", _io_files())
+def test_crossval_io_parser(name, native):
+    """Tolerant ASCII parsing against the reference's own running
+    AsciiFile.readArray (asciifile.py:99-143) on every dialect fixture
+    the reference ships but never automated (SURVEY §4), plus the real
+    data files.  Measured: BITWISE-identical arrays on 14/15 files for
+    both the pure-Python and the C++ tokenizer paths.
+
+    The one divergence is emptyInterspersedLines.csv: the reference
+    treats a blank line after data as a footer (readTuple yields an
+    empty tuple -> record None -> break, asciifile.py:126-134) and keeps
+    only 13/50 rows despite the fixture's stated tolerance intent; we
+    read the full table (working-here / limited-upstream, PARITY.md).
+    Ours must still agree bitwise on the prefix the reference keeps."""
+    from mcsas_tpu.io import load_ascii
+    fix = _io_fixture()
+    ref = np.asarray(fix["files"][name]["rawArray"], np.float64)
+    got = load_ascii(_TESTDATA / name, use_native=native)
+    if name == "testData01 emptyInterspersedLines.csv":
+        assert ref.shape == (13, 3), \
+            "upstream fixed their blank-line truncation? re-anchor"
+        assert got.shape == (50, 3)
+        got = got[:13]
+    assert got.shape == ref.shape
+    assert np.array_equal(got, ref)
+
+
+def test_crossval_io_ascii_writer():
+    """write path: our format_data is byte-identical to the reference's
+    ArrayFile.formatData ("{0: 14.6E}" cells, space-separated,
+    asciifile.py:15-35) on a payload spanning 47 decades and signs."""
+    from mcsas_tpu.io.ascii import format_data
+    fix = _io_fixture()["ascii_write"]
+    assert format_data(np.asarray(fix["data"])) == fix["text"]
+
+
+def test_crossval_io_pdh_writer():
+    """PDH write/read interop.  The reference's PDHFile.formatData is
+    BROKEN as shipped (pdhfile.py:18 calls `super(PDHFile, self)` inside
+    a classmethod -- NameError under py2 and py3 alike), so the fixture
+    records (a) that error and (b) the text its two working pieces
+    (PDHHeader + ArrayFile.formatData) compose, which the reference's
+    own reader then re-parses.  Ours must write that text byte-for-byte
+    and parse it to the same array (working-here / broken-upstream)."""
+    from mcsas_tpu.io.ascii import format_data
+    from mcsas_tpu.io.pdh import _header_lines, load_pdh
+    fix = _io_fixture()["pdh_write"]
+    assert fix["writer_error"].startswith("NameError"), \
+        "upstream fixed their PDH writer? re-anchor this test"
+    data_arr = np.asarray(fix["data"], np.float64)
+    ours = ("\n".join(_header_lines(data_arr.shape[0],
+                                    fix["description"]))
+            + "\n" + format_data(data_arr))
+    assert ours == fix["text"]
+    # both readers must agree BITWISE on the written text; values match
+    # the payload at the "{0: 14.6E}" format precision (6 decimals)
+    reparsed = np.asarray(fix["reparsed"], np.float64)
+    np.testing.assert_allclose(reparsed, data_arr, rtol=1e-6)
+    pdh = _TESTDATA / "reference_io_roundtrip.pdh"
+    try:
+        pdh.write_text(ours + "\n", encoding="utf-8")
+        assert np.array_equal(load_pdh(pdh), reparsed)
+    finally:
+        pdh.unlink(missing_ok=True)

@@ -19,10 +19,10 @@ Uses the same throwaway patched tree as run_reference.py (no reference
 code enters the repo; the fixture holds numbers only).
 
 Usage:
-    python tools/run_reference_hist.py [--out testdata/reference_hist_fixture.json]
+    python tools/run_reference_hist.py \
+        [--out testdata/reference_hist_fixture.json]
 """
 import argparse
-import json
 import os
 import shutil
 import subprocess

@@ -14,10 +14,10 @@ mcsas_tpu's locs/smear_w contraction against the reference's own
 running code.
 
 Usage:
-    python tools/run_reference_smear.py [--out testdata/reference_smear_fixture.json]
+    python tools/run_reference_smear.py \
+        [--out testdata/reference_smear_fixture.json]
 """
 import argparse
-import json
 import os
 import shutil
 import subprocess
