@@ -143,6 +143,21 @@ def _candidate_solve(x, u3, y3, s_u, s_uy, find_bg, pos_bg, n_fit,
     return min_chi, onehot, a, b
 
 
+def _onehot_rowsum(v, onehot):
+    """One-hot-masked row sum (R, K) → (R, 1), lowered as a matmul.
+
+    Bitwise-equal to ``jnp.sum(v * onehot, axis=1, keepdims=True)``
+    (every non-selected term is exactly 0.0, so accumulation order
+    cannot change the result), but avoids the 2D→column
+    ``vector.multi_reduction`` that Mosaic cannot legalize at a
+    single-repetition block ("Not implemented: Offset change", observed
+    on v5e at num_reps=1 and on per-device rep shards of 1)."""
+    k = v.shape[1]
+    return jax.lax.dot_general(
+        v * onehot, jnp.ones((k, 1), jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
 def rep_block_size(engine) -> int:
     """Largest divisor of num_reps whose per-block state fits VMEM.
 
@@ -305,8 +320,8 @@ def build_chunk_fn(engine, interpret=None, rep_block=None):
             oh3 = onehot[:, :, None]
             best_x = jnp.sum(x * oh3, axis=1)                    # (R, nq)
             best_rows = jnp.sum(rows * oh3, axis=1)
-            best_a = jnp.sum(a * onehot, axis=1, keepdims=True)  # (R, 1)
-            best_b = jnp.sum(b * onehot, axis=1, keepdims=True)
+            best_a = _onehot_rowsum(a, onehot)                   # (R, 1)
+            best_b = _onehot_rowsum(b, onehot)
 
             # ---- accept/reject (vectorized across reps)
             conval = fstate_ref[pl.ds(off, rb), 2:3]             # (rb, 1)
@@ -320,9 +335,9 @@ def build_chunk_fn(engine, interpret=None, rep_block=None):
                 acc3, best_rows[:, None, :], old_row)
             ft_ref[pl.ds(off, rb)] = jnp.where(accept, best_x, ft)
             old_p = rset_ref[:, pl.ds(ri, 1), :]                 # (R, 1, P)
-            cand_block = jnp.stack(
-                [jnp.sum(c * onehot, axis=1) for c in cands],
-                axis=-1)[:, None, :]                             # (R, 1, P)
+            cand_block = jnp.concatenate(
+                [_onehot_rowsum(c, onehot) for c in cands],
+                axis=1)[:, None, :]                              # (R, 1, P)
             rset_ref[:, pl.ds(ri, 1), :] = jnp.where(
                 acc3, cand_block, old_p)
             rows_b = pl.ds(off, rb)
@@ -624,8 +639,8 @@ def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
         oh3 = onehot[:, :, None]
         best_x = jnp.sum(x * oh3, axis=1)              # (rb, nq)
         best_rows = jnp.sum(rows * oh3, axis=1)
-        best_a = jnp.sum(a * onehot, axis=1, keepdims=True)
-        best_b = jnp.sum(b * onehot, axis=1, keepdims=True)
+        best_a = _onehot_rowsum(a, onehot)
+        best_b = _onehot_rowsum(b, onehot)
 
         # ---- accept/reject (vectorized across the block's reps)
         rows_b = pl.ds(off, rb)

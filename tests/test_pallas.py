@@ -212,6 +212,41 @@ def test_prefetch_matches_scan_exactly(sphere_data, monkeypatch):
     assert np.asarray(st_p.ibank)[:, :, nq:].sum() == 0.0
 
 
+def test_single_rep_block(sphere_data, monkeypatch):
+    """num_reps=1 (and per-device rep shards of 1 on a mesh) must keep
+    both kernels alive: the one-hot row sums lower as matmuls
+    (mc_kernel._onehot_rowsum) because Mosaic cannot legalize the
+    (1, K)→(1, 1) vector.multi_reduction at a single-rep block
+    ("Not implemented: Offset change", measured on v5e).  Interpret mode
+    cannot reproduce the legalization failure itself, so this exercises
+    the rewritten path at rb=1 and certifies the prefetch variant stays
+    bitwise-equal to the scan; the chip-side proof is
+    tools/rep_scaling.py --reps 1 (BENCHMARKS.md rep-scaling table)."""
+    e1 = make_engine(sphere_data, "on", num_reps=1)
+    assert e1.uses_pallas
+    st = e1._init_batch(jax.random.split(jax.random.PRNGKey(3), 1))
+    c0 = float(np.asarray(st.conval)[0])
+    ri = jnp.zeros((), jnp.int32)
+    for _ in range(2):
+        st, ri = e1._chunk_batch(st, ri)
+    assert float(np.asarray(st.conval)[0]) < c0
+    assert int(np.asarray(st.n_moves)[0]) > 0
+
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "64")
+    ep = _cyl_engine(sphere_data, "on", num_reps=1)
+    ex = _cyl_engine(sphere_data, "off", num_reps=1)
+    assert ep.uses_prefetch
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    st_p = ep._init_batch(keys)
+    st_x = ex._init_batch(keys)
+    ri = jnp.zeros((), jnp.int32)
+    st_p, _ = ep._chunk_batch(st_p, ri)
+    st_x, _ = ex._chunk_batch(st_x, ri)
+    assert np.array_equal(np.asarray(st_p.rset), np.asarray(st_x.rset))
+    assert np.array_equal(np.asarray(st_p.n_moves),
+                          np.asarray(st_x.n_moves))
+
+
 def test_prefetch_smeared_table(refdata, monkeypatch):
     """Smeared-intensity tables ride the prefetch kernel unchanged: rows
     are baked against the dataset's own contraction, so the kernel needs
