@@ -795,6 +795,43 @@ class McSASEngine:
     def run(self, stop: Optional[Callable[[], bool]] = None,
             progress: Optional[Callable[[dict], None]] = None
             ) -> EngineResult:
+        """Runs the MC optimization (retries included).
+
+        In ``use_pallas='auto'`` the kernel tiers must DEGRADE, never
+        fail: eligibility checks catch the predictable cases (VMEM
+        budget, unsupported models) before any compile, and this wrapper
+        catches the unpredictable one — a Mosaic legalization failure
+        surfacing at first compile (e.g. the single-rep-block
+        multi_reduction bug fixed in round 4 would have crashed every
+        'auto' user until then).  On such a failure the fit re-runs on
+        the XLA scan path with identical semantics.  ``'on'`` remains a
+        force-override and re-raises."""
+        try:
+            return self._run_attempts(stop, progress)
+        except Exception as e:
+            if not self._mosaic_fallback_applies(e):
+                raise
+            log.warning(
+                "Pallas kernel failed to compile on this backend (%s); "
+                "'auto' tier falling back to the XLA scan path. Error: "
+                "%.300s", type(e).__name__, e)
+            return self._mosaic_fallback_engine().run(
+                stop=stop, progress=progress)
+
+    def _mosaic_fallback_applies(self, e: Exception) -> bool:
+        kernelish = (self.uses_pallas or self.uses_prefetch
+                     or getattr(self, "_pallas_shard", False)
+                     or getattr(self, "_prefetch_shard", False))
+        return (self.cfg.use_pallas == "auto" and kernelish
+                and "Mosaic" in f"{type(e).__name__}: {e}")
+
+    def _mosaic_fallback_engine(self) -> "McSASEngine":
+        return McSASEngine(self.data, self.bound,
+                           self.cfg.replace(use_pallas="off"))
+
+    def _run_attempts(self, stop: Optional[Callable[[], bool]] = None,
+                      progress: Optional[Callable[[dict], None]] = None
+                      ) -> EngineResult:
         cfg = self.cfg
         n_reps = cfg.num_reps
         attempts = np.ones(n_reps, dtype=np.int64)

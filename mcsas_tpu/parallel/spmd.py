@@ -254,6 +254,16 @@ class ShardedEnsemble(McSASEngine):
             self._drive = None
             self._init_drive = None
 
+    def _mosaic_fallback_engine(self) -> "ShardedEnsemble":
+        # keep the mesh: the XLA shard path has identical semantics
+        # (same threefry stream); un-pad reps so the rebuilt engine
+        # re-derives its own padding and trimming
+        return ShardedEnsemble(
+            self.data, self.bound,
+            self.cfg.replace(use_pallas="off",
+                             num_reps=self._orig_reps),
+            mesh=self.mesh)
+
     def run(self, **kw):
         res = super().run(**kw)
         r = self._orig_reps

@@ -212,6 +212,45 @@ def test_prefetch_matches_scan_exactly(sphere_data, monkeypatch):
     assert np.asarray(st_p.ibank)[:, :, nq:].sum() == 0.0
 
 
+def test_auto_mode_mosaic_runtime_fallback(sphere_data, monkeypatch):
+    """'auto' must DEGRADE on a Mosaic compile failure surfacing at run
+    time (engine.run's wrapper), not crash the fit; 'on' stays a force
+    override and re-raises.  The real failure needs a backend bug (e.g.
+    the pre-fix single-rep multi_reduction), so it is simulated here."""
+    class FakeMosaic(RuntimeError):
+        pass
+
+    def boom(*a, **k):
+        raise FakeMosaic(
+            "Mosaic failed to compile TPU kernel: Not implemented")
+
+    cfg = dict(num_reps=2, max_iterations=500,
+               convergence_criterion=1e9, show_incomplete=True)
+    eng = make_engine(sphere_data, "on", **cfg)
+    assert eng.uses_pallas
+    # simulate a TPU 'auto' engine that selected the kernel tier
+    eng.cfg = eng.cfg.replace(use_pallas="auto")
+    monkeypatch.setattr(eng, "_run_attempts", boom)
+    res = eng.run()
+    assert not res.used_pallas          # completed on the XLA scan path
+    assert res.conval.shape == (2,)
+    assert np.isfinite(res.conval).all()
+
+    eng2 = make_engine(sphere_data, "on", **cfg)
+    monkeypatch.setattr(eng2, "_run_attempts", boom)
+    with pytest.raises(FakeMosaic):
+        eng2.run()                      # 'on' re-raises
+
+    # unrelated errors propagate even under 'auto'
+    eng3 = make_engine(sphere_data, "on", **cfg)
+    eng3.cfg = eng3.cfg.replace(use_pallas="auto")
+    monkeypatch.setattr(
+        eng3, "_run_attempts",
+        lambda *a, **k: (_ for _ in ()).throw(ValueError("no")))
+    with pytest.raises(ValueError):
+        eng3.run()
+
+
 def test_single_rep_block(sphere_data, monkeypatch):
     """num_reps=1 (and per-device rep shards of 1 on a mesh) must keep
     both kernels alive: the one-hot row sums lower as matmuls

@@ -376,3 +376,20 @@ def test_sharded_drive_table_tier_bounded(refdata, cpus, monkeypatch):
     res_host = se.run(progress=lambda info: None)
     np.testing.assert_array_equal(res_drive.contribs, res_host.contribs)
     np.testing.assert_array_equal(res_drive.n_iter, res_host.n_iter)
+
+
+def test_sharded_mosaic_fallback_engine(setup, cpus):
+    """The 'auto' runtime Mosaic fallback (engine.run wrapper) must keep
+    the MESH when rebuilding a ShardedEnsemble: the XLA shard path has
+    identical semantics, only the kernel dispatch changes."""
+    d, bound, cfg = setup
+    mesh = make_mesh((4, 1), cpus[:4])
+    se = ShardedEnsemble(d, bound, cfg.replace(use_pallas="auto",
+                                               num_reps=3), mesh=mesh)
+    fb = se._mosaic_fallback_engine()
+    assert isinstance(fb, ShardedEnsemble)
+    assert fb.mesh is se.mesh
+    assert fb.cfg.use_pallas == "off"
+    # reps were padded to the mesh (3 -> 4); the rebuilt engine re-pads
+    # from the ORIGINAL count so trimming still reports 3
+    assert se.cfg.num_reps == 4 and fb._orig_reps == 3
