@@ -151,11 +151,22 @@ def _onehot_rowsum(v, onehot):
     cannot change the result), but avoids the 2D→column
     ``vector.multi_reduction`` that Mosaic cannot legalize at a
     single-repetition block ("Not implemented: Offset change", observed
-    on v5e at num_reps=1 and on per-device rep shards of 1)."""
+    on v5e at num_reps=1 and on per-device rep shards of 1).
+
+    precision=HIGHEST is LOAD-BEARING for the bitwise claim: the
+    default matmul precision truncates f32 operands to bf16 on the MXU
+    — measured 2.6e-3 rel deviation in scale/background on chip, and
+    since cand_block routes through here it would round every ACCEPTED
+    parameter (~0.2%).  The fp32 contraction keeps the selected value
+    exact and still legalizes at a 1-rep block (verified on v5e;
+    negative control: tests/test_tpu_pallas.py::
+    test_hw_prefetch_matches_scan_numerics fails at default precision)."""
     k = v.shape[1]
     return jax.lax.dot_general(
         v * onehot, jnp.ones((k, 1), jnp.float32),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
 
 def rep_block_size(engine) -> int:

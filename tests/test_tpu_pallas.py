@@ -133,6 +133,60 @@ def test_init_drive_matches_manual_chunks(refdata, on_tpu):
 
 
 @slow
+def test_hw_prefetch_matches_scan_numerics(refdata, on_tpu, monkeypatch):
+    """Prefetch kernel vs XLA scan ON CHIP, including the fitted
+    scale/background — the interpret-mode twin of this test runs the
+    dot_general exactly on CPU and the other on-TPU tests compare
+    kernel-vs-kernel, so only this catches Mosaic-specific numerics.
+
+    Regression for the _onehot_rowsum precision bug (round 4): at
+    default matmul precision the MXU truncates f32 operands to bf16 —
+    scale/background deviated from the scan path by up to 2.6e-3 rel
+    and every ACCEPTED parameter (cand_block) was rounded ~0.2%.
+    precision=HIGHEST restores the exact one-hot selection; rset must
+    be bitwise and scale/background ≤1e-5 of the scan's."""
+    import jax.numpy as jnp
+    monkeypatch.setenv("MCSAS_TPU_TABLE_RES_CAP", "64")
+    d = data.load(refdata / "sasfit_sphere-10-1.dat")
+    bound = get_model("CylindersIsotropic").bind(
+        active=("radius",), active_ranges={"radius": (1e-10, 5e-8)},
+        fixed={"useAspect": 1.0, "aspect": 10.0})
+    base = dict(num_reps=4, num_contribs=50, convergence_criterion=2.0,
+                max_iterations=200_000, chunk_steps=64,
+                candidates_per_step=8, seed=7, max_retries=0,
+                local_moves=0.5)
+    ep = McSASEngine(d, bound, McSASConfig(use_pallas="on",
+                                           table_ff="on", **base))
+    assert ep.uses_prefetch
+    # the prefetch segment is capped at num_contribs steps; chunk the
+    # scan baseline at that length so both consume equal step budgets
+    # (same pattern as the interpret-mode twin in tests/test_pallas.py)
+    from mcsas_tpu.ops import mc_kernel
+    seg = mc_kernel.prefetch_seg_steps(ep)
+    ex = McSASEngine(d, bound, McSASConfig(
+        use_pallas="off", table_ff="on",
+        **{**base, "chunk_steps": seg}))
+    assert not ex.uses_prefetch
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    st_p, st_x = ep._init_batch(keys), ex._init_batch(keys)
+    ri_p = ri_x = jnp.zeros((), jnp.int32)
+    for _ in range(3):
+        st_p, ri_p = ep._chunk_batch(st_p, ri_p)
+        st_x, ri_x = ex._chunk_batch(st_x, ri_x)
+    assert np.array_equal(np.asarray(st_p.rset), np.asarray(st_x.rset))
+    assert np.array_equal(np.asarray(st_p.n_moves),
+                          np.asarray(st_x.n_moves))
+    np.testing.assert_allclose(np.asarray(st_p.scale),
+                               np.asarray(st_x.scale), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_p.background),
+                               np.asarray(st_x.background), rtol=1e-5,
+                               atol=1e-8 * float(
+                                   np.abs(np.asarray(st_x.scale)).max()))
+    np.testing.assert_allclose(np.asarray(st_p.conval),
+                               np.asarray(st_x.conval), rtol=1e-5)
+
+
+@slow
 def test_prefetch_local_moves_drive_matches_host_loop(refdata, on_tpu):
     """The single-launch drive must reproduce the host-loop trajectory
     for the prefetch kernel WITH local moves at the production shape.

@@ -50,20 +50,26 @@ def main():
                           max_retries=1, local_moves=0.5)
         eng = McSASEngine(data, bound, cfg)
         res = eng.run()                      # warm-up / compile
-        wall = float("inf")
+        wall, best = float("inf"), None
         for _ in range(2):                   # best-of-2 (link variance)
             t0 = time.perf_counter()
-            res = eng.run()
-            wall = min(wall, time.perf_counter() - t0)
+            r = eng.run()
+            dt = time.perf_counter() - t0
+            if dt < wall:                    # keep the run that set the
+                wall, best = dt, r           # min so the row is coherent
+        res = best
+        pps = res.total_iters / wall         # derived from the SAME run
         row = {
             "reps": n_reps,
             "wall_s": round(wall, 4),
-            "proposals_per_sec": round(res.iters_per_sec),
-            "per_rep_proposals_per_sec": round(res.iters_per_sec
-                                               / n_reps),
-            "total_proposals": int(res.n_iter.sum()),
+            "proposals_per_sec": round(pps),
+            "per_rep_proposals_per_sec": round(pps / n_reps),
+            "total_proposals": int(res.total_iters),
             "converged": int(res.converged.sum()),
             "max_chi2": round(float(res.conval.max()), 4),
+            # guard against the 'auto' runtime Mosaic fallback silently
+            # publishing scan-path numbers as the kernel scaling basis
+            "used_pallas": bool(res.used_pallas),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
