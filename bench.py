@@ -335,7 +335,47 @@ def main():
         out["quickstart_s"] = round(quickstart_s, 4)
         out["vs_baseline_quickstart"] = round(
             REFERENCE_SECONDS / quickstart_s, 2)
+    if "--no-certify" not in sys.argv:
+        out["certify"] = certify()
     print(json.dumps(out))
+
+
+def certify():
+    """Drive-audit certification embedded in the bench artifact (VERDICT
+    r4 #5): bitwise drive-vs-host-loop proposal counters (inflation must
+    be 1.0) for the three kernel tiers that have historically broken
+    ONLY on silicon — fused (sphere), prefetch+local-moves (kholodenko,
+    the 43x-bug shape) and prefetch table (cylinders) — plus the sharded
+    1-device-mesh legs for the fused and prefetch+local tiers (the
+    shard_map x input_output_aliases x while_loop combination, VERDICT
+    r4 #1).  The full nine-family audit stays in tools/drive_audit.py.
+
+    Any failure is recorded in the artifact rather than raised: the
+    headline timing above must survive a certification regression."""
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    import drive_audit as da
+    tiers = ("sphere", "kholodenko-worm", "cylinders-isotropic")
+    sharded_tiers = ("sphere", "kholodenko-worm")
+    cert = {}
+    keep = ("n_iter_equal", "inflation", "pallas", "prefetch", "table",
+            "skipped")
+    keep_sh = ("n_iter_equal", "contribs_equal", "inflation",
+               "pallas_shard", "prefetch_shard", "sharded_drive",
+               "mesh_platform")
+    for entry in da.CONFIGS:
+        if entry[0] not in tiers:
+            continue
+        try:
+            cdata, cbound, ccfg = da.build_config(entry)
+            row = da.audit(entry[0], cdata, cbound, ccfg)
+            cert[entry[0]] = {k: row[k] for k in keep if k in row}
+            if entry[0] in sharded_tiers:
+                row = da.audit_sharded(entry[0], cdata, cbound, ccfg)
+                cert[entry[0] + "+sharded"] = {
+                    k: row[k] for k in keep_sh if k in row}
+        except Exception as e:  # record, don't kill the bench artifact
+            cert[entry[0]] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    return cert
 
 
 if __name__ == "__main__":

@@ -108,6 +108,9 @@ class EngineResult:
     # per-rep n_iter above resets on retry, so this is the auditable
     # total a trajectory regression cannot hide behind
     total_iters: int = 0
+    # set by ShardedEnsemble.run after slicing off rep/q padding, so a
+    # result that bubbled up through a fallback engine is never re-trimmed
+    reps_trimmed: bool = False
 
     @property
     def num_reps(self) -> int:
@@ -428,6 +431,7 @@ class McSASEngine:
                 bc(state.n_moves, f32)[:, None]], axis=1)
 
         self._fast_pack = self.dtype == jnp.float32
+        self._pack_fn = pack_result if self._fast_pack else None
         self._pack = jax.jit(pack_result) if self._fast_pack else None
 
         def unpack_result(arr):
@@ -461,49 +465,11 @@ class McSASEngine:
         self._drive = None
         fast_body = (self.uses_pallas or self.uses_prefetch
                      or (bound.model.elementwise_q and not self.uses_table))
-        if fast_body or self.uses_table:
-            drive_trips = None if fast_body else 32
-            crit = float(cfg.convergence_criterion)
-
-            def drive_loop(state, ri, grid, consts):
-                def live(s):
-                    return jnp.any((s.conval > crit)
-                                   & (s.n_iter < cfg.max_iterations))
-
-                if drive_trips is None:
-                    def running(carry):
-                        return live(carry[0])
-
-                    def body(carry):
-                        return self._chunk_impl(*carry, grid, consts)
-
-                    return jax.lax.while_loop(running, body, (state, ri))
-
-                def running(carry):
-                    (s, _), trip = carry
-                    return (trip < drive_trips) & live(s)
-
-                def body(carry):
-                    (s, ri_c), trip = carry
-                    return (self._chunk_impl(s, ri_c, grid, consts),
-                            trip + 1)
-
-                (state, ri), _ = jax.lax.while_loop(
-                    running, body, ((state, ri), jnp.zeros((), jnp.int32)))
-                return state, ri
-
-            # grid/consts stay jit ARGUMENTS through the drive (sharing
-            # executables across datasets on the XLA path); the packed
-            # result buffer rides the same launch — no extra RTT
-            if self._fast_pack:
-                def drive(state, ri, grid, consts):
-                    state, ri = drive_loop(state, ri, grid, consts)
-                    return state, ri, pack_result(state)
-            else:
-                def drive(state, ri, grid, consts):
-                    state, ri = drive_loop(state, ri, grid, consts)
-                    return state, ri, jnp.zeros((), jnp.float32)
-
+        # grid/consts stay jit ARGUMENTS through the drive (sharing
+        # executables across datasets on the XLA path); the packed
+        # result buffer rides the same launch — no extra RTT
+        drive = self._build_drive(self._chunk_impl, fast_body)
+        if drive is not None:
             _drive = jax.jit(drive)
             self._drive = lambda state, ri: _drive(
                 state, ri, self.grid, self.consts)
@@ -550,6 +516,65 @@ class McSASEngine:
                     seed, self.grid, self.consts)
         else:
             self._init_drive = None
+
+    def _build_drive(self, chunk_fn, fast_body):
+        """Single-launch drive builder — ONE implementation shared by the
+        unsharded engine and :class:`~..parallel.spmd.ShardedEnsemble`
+        (the round-4 aliasing bugs showed how expensive divergence in
+        exactly this machinery is).
+
+        Tier selection + the device-side while_loop over chunks + the
+        packed-result fetch: FAST bodies (*fast_body* — Pallas kernels,
+        elementwise XLA) run one UNBOUNDED while_loop per attempt; table
+        bodies run a BOUNDED loop (32 trips/launch — amortizes the ~4 ms
+        remote RTT while staying under the remote worker's watchdog);
+        anything else (quadrature-heavy, no table) returns None and the
+        caller keeps the host chunk loop (wrapping those bodies in a
+        while_loop blows up remote compile time).
+
+        *chunk_fn(state, ri, \\*args) -> (state, ri)*; extra ``*args``
+        pass through the returned ``drive(state, ri, *args) ->
+        (state, ri, packed)`` unchanged (the XLA path threads
+        grid/consts as jit arguments so executables are shared across
+        datasets; the sharded path closes over its shard_map'd chunk and
+        passes none).
+        """
+        if not (fast_body or self.uses_table):
+            return None
+        drive_trips = None if fast_body else 32
+        crit = float(self.cfg.convergence_criterion)
+        max_it = self.cfg.max_iterations
+
+        def live(s):
+            return jnp.any((s.conval > crit) & (s.n_iter < max_it))
+
+        def drive_loop(state, ri, *args):
+            if drive_trips is None:
+                return jax.lax.while_loop(
+                    lambda carry: live(carry[0]),
+                    lambda carry: chunk_fn(*carry, *args), (state, ri))
+
+            def running(carry):
+                (s, _), trip = carry
+                return (trip < drive_trips) & live(s)
+
+            def body(carry):
+                (s, ri_c), trip = carry
+                return chunk_fn(s, ri_c, *args), trip + 1
+
+            (state, ri), _ = jax.lax.while_loop(
+                running, body, ((state, ri), jnp.zeros((), jnp.int32)))
+            return state, ri
+
+        pack = self._pack_fn
+
+        def drive(state, ri, *args):
+            state, ri = drive_loop(state, ri, *args)
+            packed = (pack(state) if pack is not None
+                      else jnp.zeros((), jnp.float32))
+            return state, ri, packed
+
+        return drive
 
     def _pallas_eligible(self) -> bool:
         mode = getattr(self.cfg, "use_pallas", "off")
@@ -822,7 +847,13 @@ class McSASEngine:
         kernelish = (self.uses_pallas or self.uses_prefetch
                      or getattr(self, "_pallas_shard", False)
                      or getattr(self, "_prefetch_shard", False))
+        # compile-surface failures only: once one kernel launch has been
+        # fetched successfully the executable is proven legalizable, so a
+        # later error mentioning Mosaic is a runtime/watchdog failure —
+        # restarting a (possibly long) run from scratch would silently
+        # discard it; re-raise instead
         return (self.cfg.use_pallas == "auto" and kernelish
+                and not getattr(self, "_kernel_proven", False)
                 and "Mosaic" in f"{type(e).__name__}: {e}")
 
     def _mosaic_fallback_engine(self) -> "McSASEngine":
@@ -886,6 +917,11 @@ class McSASEngine:
                         background=state.background, conval=state.conval,
                         n_iter=state.n_iter,
                         n_moves=state.n_moves)).items()}
+            # a completed fetch proves the kernel executable compiled AND
+            # ran (dispatch is async; errors surface at the blocking
+            # fetch) — from here on the Mosaic 'auto' fallback must not
+            # swallow runtime failures (_mosaic_fallback_applies)
+            self._kernel_proven = True
             conval = np.asarray(fetched["conval"], dtype=np.float64)
             n_iter = np.asarray(fetched["n_iter"], dtype=np.int64)
             converged = conval <= cfg.convergence_criterion

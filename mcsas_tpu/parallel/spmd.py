@@ -187,53 +187,18 @@ class ShardedEnsemble(McSASEngine):
         # (core/engine.py drive docs).  The state stays sharded across
         # loop iterations; the `live` condition reduces the small (R,)
         # convergence scalars, for which XLA inserts the all-reduce.
-        # Same tiering as the parent (engine.py:461-509): FAST bodies
-        # (Pallas shard, elementwise XLA) run unbounded; table bodies use
-        # a BOUNDED loop (32 chunks/launch — remote-watchdog headroom);
-        # quadrature-heavy bodies keep the host chunk loop (compile
-        # blow-up).  Initialization stays sharded by construction — it
+        # Tiering and loop machinery come from the parent's shared
+        # _build_drive (one audit surface for both execution layouts).
+        # Initialization stays sharded by construction — it
         # goes through the same shard_map'd init (the round-3 OOM hazard
         # of the parent's unsharded fused init does not apply), and for
         # the Pallas shard it stays its OWN launch per the documented
         # input_output_aliases fusion hazard (CLAUDE.md).
         fast_body = (self._pallas_shard
                      or (bound.model.elementwise_q and not self.uses_table))
-        if fast_body or self.uses_table:
-            drive_trips = None if fast_body else 32
-            crit = float(cfg.convergence_criterion)
-            max_it = cfg.max_iterations
-            inner_chunk = self._chunk_batch   # jitted shard_map (inlines)
-
-            def drive_loop(state, ri):
-                def live(s):
-                    return jnp.any((s.conval > crit) & (s.n_iter < max_it))
-
-                if drive_trips is None:
-                    return jax.lax.while_loop(
-                        lambda carry: live(carry[0]),
-                        lambda carry: inner_chunk(*carry), (state, ri))
-
-                def running(carry):
-                    (s, _), trip = carry
-                    return (trip < drive_trips) & live(s)
-
-                def body(carry):
-                    (s, ri_c), trip = carry
-                    return inner_chunk(s, ri_c), trip + 1
-
-                (state, ri), _ = jax.lax.while_loop(
-                    running, body, ((state, ri), jnp.zeros((), jnp.int32)))
-                return state, ri
-
-            if self._fast_pack:
-                def drive(state, ri):
-                    state, ri = drive_loop(state, ri)
-                    return state, ri, self._pack(state)
-            else:
-                def drive(state, ri):
-                    state, ri = drive_loop(state, ri)
-                    return state, ri, jnp.zeros((), jnp.float32)
-
+        # the jitted shard_map'd chunk inlines under the drive's jit
+        drive = self._build_drive(self._chunk_batch, fast_body)
+        if drive is not None:
             self._drive = jax.jit(drive)
 
             def init_seeded(seed):
@@ -266,9 +231,15 @@ class ShardedEnsemble(McSASEngine):
 
     def run(self, **kw):
         res = super().run(**kw)
+        if getattr(res, "reps_trimmed", False):
+            # produced by a (Mosaic-fallback) ShardedEnsemble that already
+            # trimmed its own padding — re-trimming against THIS engine's
+            # padding would silently mis-slice if padding rules diverge
+            return res
         r = self._orig_reps
         for f in ("contribs", "conval", "n_iter", "n_moves", "attempts",
                   "converged", "scaling", "background", "measval"):
             setattr(res, f, getattr(res, f)[:r])
         res.measval = res.measval[:, :self.data.count]  # drop q padding
+        res.reps_trimmed = True
         return res

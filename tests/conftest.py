@@ -36,9 +36,13 @@ _REPO = pathlib.Path(__file__).resolve().parent.parent
 # first mcsas_tpu import would ever land in it (measured 2026-08-19: a
 # full suite run left 3 entries in a repo-local dir and ~950 in the
 # package one).  Resolution mirrors _setup_default_compile_cache.
-_CACHE_DIR = os.environ.get("MCSAS_TPU_COMPILE_CACHE") or str(
-    pathlib.Path.home() / ".cache" / "mcsas_tpu_xla")
-if _CACHE_DIR.lower() != "off":
+_CACHE_DIR = os.environ.get("MCSAS_TPU_COMPILE_CACHE")
+if _CACHE_DIR is None:
+    _CACHE_DIR = str(pathlib.Path.home() / ".cache" / "mcsas_tpu_xla")
+# exactly the package's gate: '' and 'off' both disable; the dir is
+# created here too so PRE-import compiles can land in it
+if _CACHE_DIR and _CACHE_DIR.lower() != "off":
+    os.makedirs(_CACHE_DIR, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 # threshold 0, NOT 0.1: the remote compile service makes the locally
 # measured compile time the RPC wrapper's (often <0.1 s), so a nonzero

@@ -187,6 +187,60 @@ def test_hw_prefetch_matches_scan_numerics(refdata, on_tpu, monkeypatch):
 
 
 @slow
+@pytest.mark.parametrize("tier", ["fused", "prefetch", "prefetch-local"])
+def test_sharded_tier_on_chip_matches_unsharded(refdata, on_tpu, tier):
+    """ShardedEnsemble on a REAL 1-device TPU mesh vs the unsharded
+    engine: bitwise proposal counters and contributions at the same
+    seed, for all three kernel tiers (fused, prefetch, prefetch+local
+    moves).
+
+    Closes the round-4 verification gap: the shard_map-wrapped ALIASED
+    kernels inside the while_loop drive were the one untested
+    combination of the two ingredients that produced both round-4 chip
+    bugs (init-fusion aliasing and the 43x rset-gather corruption) —
+    everything sharded had only ever run on virtual CPU devices in
+    interpret mode, where neither bug reproduces.  A 1-device mesh runs
+    the same shard_map + input_output_aliases + while_loop machinery on
+    real silicon; the unsharded engine at the same seed is the certified
+    baseline (reference semantics anchor: the rep ensemble must be
+    execution-layout invariant, mcsas/mcsas.py:214)."""
+    from mcsas_tpu.parallel.mesh import make_mesh
+    from mcsas_tpu.parallel.spmd import ShardedEnsemble
+    if tier == "fused":
+        d = data.load(refdata / "sasfit_sphere-10-1.dat")
+        bound = get_model("Sphere").bind()
+        cfg = McSASConfig(num_contribs=100, num_reps=4,
+                          max_iterations=400_000, chunk_steps=1024,
+                          candidates_per_step=16, seed=31, max_retries=0,
+                          show_incomplete=True, use_pallas="on")
+    else:
+        d = data.load(refdata / "sasfit_kho-1-10-1000.dat")
+        bound = get_model("Kholodenko").bind()
+        local = 0.5 if tier == "prefetch-local" else 0.0
+        cfg = McSASConfig(num_contribs=150, num_reps=4,
+                          max_iterations=24_000_000, chunk_steps=1024,
+                          candidates_per_step=128, seed=2026,
+                          max_retries=0, local_moves=local,
+                          show_incomplete=True, use_pallas="on",
+                          table_ff="on")
+    tpu_mesh = make_mesh((1, 1), [on_tpu])
+    se = ShardedEnsemble(d, bound, cfg, mesh=tpu_mesh)
+    if tier == "fused":
+        assert se._pallas_shard and not se._prefetch_shard
+    else:
+        assert se._prefetch_shard
+    assert se._drive is not None       # the while_loop drive tier engaged
+    res_s = se.run()
+    res_u = McSASEngine(d, bound, cfg).run()
+    np.testing.assert_array_equal(res_s.n_iter, res_u.n_iter)
+    np.testing.assert_array_equal(res_s.n_moves, res_u.n_moves)
+    np.testing.assert_array_equal(res_s.contribs, res_u.contribs)
+    # grind signature of state corruption: sharded total must not
+    # inflate over the unsharded baseline (the 43x-bug detector)
+    assert res_s.total_iters == res_u.total_iters
+
+
+@slow
 def test_prefetch_local_moves_drive_matches_host_loop(refdata, on_tpu):
     """The single-launch drive must reproduce the host-loop trajectory
     for the prefetch kernel WITH local moves at the production shape.

@@ -75,6 +75,14 @@ def prepare_tree(workdir: str) -> str:
     with open(os.path.join(pkg, "gui", "utils", "__init__.py"),
               "w") as fh:
         fh.write(_GUI_UTILS_STUB)
+    # py3 shim 3: numpy>=1.20 rejects the float Parameter value (100.)
+    # as linspace's num — int-cast at the use site, same rule
+    cyl = os.path.join(pkg, "models", "cylindersisotropic.py")
+    with open(cyl) as fh:
+        src = fh.read()
+    with open(cyl, "w") as fh:
+        fh.write(src.replace("numpy.linspace(0., 1., self.intDiv()",
+                             "numpy.linspace(0., 1., int(self.intDiv())"))
     return workdir
 
 
@@ -84,7 +92,7 @@ import json, sys, time
 import numpy as np
 
 (workdir, datafile, n_contribs, n_reps, max_iter, out,
- model_name, no_rebin) = sys.argv[1:9]
+ model_name, no_rebin, conv_crit) = sys.argv[1:10]
 n_contribs, n_reps, max_iter = int(n_contribs), int(n_reps), int(max_iter)
 no_rebin = int(no_rebin)
 sys.path.insert(0, workdir)
@@ -136,6 +144,22 @@ elif model_name == "kholodenko":
     from mcsas.models.kholodenko import Kholodenko
     model = Kholodenko()
     fitpar = model.radius
+elif model_name == "cylinder":
+    # the joint 2-parameter (radius x length) reconstruction: useAspect
+    # off so length is an independent fit dimension
+    # (cylindersisotropic.py:65-68); explicit active boxes matching the
+    # synthetic cylmix.dat populations (tools/make_cyldata.py)
+    from mcsas.models.cylindersisotropic import CylindersIsotropic
+    model = CylindersIsotropic()
+    # py3 shim: numpy.linspace(num=...) no longer accepts the float
+    # default (100.) — same rule, declared as int
+    model.intDiv.setValue(100)
+    model.useAspect.setValue(False)
+    model.radius.setActive(True)
+    model.radius.setActiveRange((0.5e-9, 8e-9))
+    model.length.setActive(True)
+    model.length.setActiveRange((5e-9, 150e-9))
+    fitpar = model.radius
 else:
     from mcsas.models.sphere import Sphere
     model = Sphere()
@@ -145,20 +169,28 @@ fitpar.setActive(True)
 # models/sphere.py:16-26), identical to mcsas_tpu's ParamSpec: both MCs
 # then search the same space
 lo, hi = fitpar.activeRange()
-# the GUI adds histograms via the range list; default shape: 50 bins,
-# log x, one volume- and one number-weighted (Histogram defaults)
-fitpar.histograms().append(
-    Histogram(fitpar, lo, hi, binCount=50, xscale="log",
-              yweight="vol"))
-fitpar.histograms().append(
-    Histogram(fitpar, lo, hi, binCount=50, xscale="log",
-              yweight="num"))
+# histogrammed parameters: every active dimension for the joint
+# multi-parameter fit, the primary fitpar otherwise (kholodenko keeps
+# its legacy single-param fixture format: its lenKuhn/lenContour are
+# active but unhistogrammed, like the original runner)
+histpars = list(model.activeParams()) if model_name == "cylinder" \
+    else [fitpar]
+for par in histpars:
+    plo, phi = par.activeRange()
+    # the GUI adds histograms via the range list; default shape: 50
+    # bins, log x, one volume- and one number-weighted
+    par.histograms().append(
+        Histogram(par, plo, phi, binCount=50, xscale="log",
+                  yweight="vol"))
+    par.histograms().append(
+        Histogram(par, plo, phi, binCount=50, xscale="log",
+                  yweight="num"))
 algo.model = model
 algo.data = data
 algo.numContribs.setValue(n_contribs)
 algo.numReps.setValue(n_reps)
 algo.maxIterations.setValue(max_iter)
-algo.convergenceCriterion.setValue(1.0)
+algo.convergenceCriterion.setValue(float(conv_crit))
 
 t0 = time.time()
 algo.calc()
@@ -173,9 +205,12 @@ def arr(v):
     return np.asarray(v, np.float64).tolist() if v is not None else None
 
 hists = {}
-for h in fitpar.histograms():
+for par in histpars:
+  for h in par.histograms():
     m = h.moments
-    hists[h.yweight] = {
+    key = h.yweight if len(histpars) == 1 \
+        else "%s:%s" % (par.name(), h.yweight)
+    hists[key] = {
         "xLowerEdge": arr(h.xLowerEdge),
         "xMean": arr(h.xMean),
         "xWidth": arr(h.xWidth),
@@ -192,9 +227,13 @@ times = np.asarray(r.get("times", []), np.float64)
 fix = {
     "workload": {"datafile": datafile, "numContribs": n_contribs,
                  "numReps": n_reps, "maxIterations": max_iter,
-                 "convergenceCriterion": 1.0, "model": model_name,
+                 "convergenceCriterion": float(conv_crit), "model": model_name,
                  "noRebin": bool(no_rebin),
                  "activeRange_m": [float(lo), float(hi)],
+                 "activeRanges_m": {
+                     p.name(): [float(min(p.activeRange())),
+                                float(max(p.activeRange()))]
+                     for p in model.activeParams()},
                  "sizeEstimate_m": [float(est[0]), float(est[1])]},
     "host_elapsed_s": elapsed,
     "times_per_rep_s": times.tolist(),
@@ -218,7 +257,8 @@ def main():
     ap.add_argument("--quickstart", action="store_true",
                     help="use quickstartdemo1.csv (the 36 s workload)")
     ap.add_argument("--model", default="sphere",
-                    choices=("sphere", "gaussianchain", "kholodenko"),
+                    choices=("sphere", "gaussianchain", "kholodenko",
+                             "cylinder"),
                     help="reference model family to fit")
     ap.add_argument("--no-rebin", action="store_true",
                     help="disable the log rebin (nBin=0) — bypasses the "
@@ -227,6 +267,7 @@ def main():
     ap.add_argument("--reps", type=int, default=None)
     ap.add_argument("--max-iter", type=int, default=100000)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--conv-crit", type=float, default=1.0)
     ap.add_argument("--timeout", type=int, default=5400)
     args = ap.parse_args()
 
@@ -249,6 +290,16 @@ def main():
         default_out = "testdata/reference_kho_fixture.json"
         contribs = args.contribs or 200
         reps = args.reps or 10
+    elif args.model == "cylinder":
+        # our own synthetic 2-population dataset (tools/make_cyldata.py);
+        # reduced-but-converging workload: the reference's 2-param fit is
+        # ~100x slower per iteration than sphere (intDiv=100 quadrature)
+        datafile = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "testdata", "cylmix.dat")
+        default_out = "testdata/reference_cyl_fixture.json"
+        contribs = args.contribs or 100
+        reps = args.reps or 5
     else:
         datafile = os.path.join(REFERENCE, "testdata",
                                 "sasfit_sphere-10-1.dat")
@@ -268,7 +319,7 @@ def main():
         rc = subprocess.run(
             [sys.executable, "-u", "-c", _RUNNER, workdir, datafile,
              str(args.contribs), str(args.reps), str(args.max_iter), out,
-             args.model, str(int(args.no_rebin))],
+             args.model, str(int(args.no_rebin)), str(args.conv_crit)],
             timeout=args.timeout).returncode
         print(f"reference run rc={rc} in {time.time() - t0:.1f}s")
         return rc
