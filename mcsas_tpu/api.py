@@ -226,7 +226,8 @@ def fit(data: Union[SASData, str, os.PathLike],
         stop: Optional[Callable[[], bool]] = None,
         progress: Optional[Callable[[dict], None]] = None,
         engine_cls=McSASEngine,
-        mesh=None) -> McSASResult:
+        mesh=None,
+        prewarm: bool = False) -> McSASResult:
     """Runs the full MC analysis on one dataset.
 
     - *data*: a SASData or a path to a data file
@@ -235,6 +236,9 @@ def fit(data: Union[SASData, str, os.PathLike],
     - *histograms*: histogram specs (default: one per active parameter)
     - *stop*: callable polled between chunks for cooperative abort
       (reference stop flag: mcsas.py:240-245,357)
+    - *prewarm*: AOT-compile the engine's executables before running
+      (populates the persistent compile cache; moves the remote
+      first-compile cost out of the timed fit — engine.prewarm())
     """
     if not isinstance(data, SASData):
         data = data_mod.load(data)
@@ -250,6 +254,8 @@ def fit(data: Union[SASData, str, os.PathLike],
                                 mesh=mesh)
     else:
         engine = _cached_engine(engine_cls, data, bound, cfg)
+    if prewarm:
+        engine.prewarm()
     eng_result = engine.run(stop=stop, progress=progress)
     if not eng_result.converged.all() and not cfg.show_incomplete:
         log.warning(
@@ -406,7 +412,7 @@ class OutputFiles:
 
 def run_files(filenames: Sequence, model=None, cfg: Optional[McSASConfig]
               = None, histograms=None, out_dir=None, plot: bool = False,
-              data_config=None, mesh=None) -> list:
+              data_config=None, mesh=None, prewarm: bool = False) -> list:
     """Batch driver over many data files: fits each and writes the full
     output-file set; accumulates series statistics when cfg.series_stats
     (reference Calculator.__call__ per-file pipeline + series handling:
@@ -426,7 +432,7 @@ def run_files(filenames: Sequence, model=None, cfg: Optional[McSASConfig]
         out = OutputFiles(probe, out_dir=out_dir)
         with RunLogFile(out.path("log", ".txt")):
             res = fit(d, model=model, cfg=cfg, histograms=histograms,
-                      mesh=mesh)
+                      mesh=mesh, prewarm=prewarm)
             out.result = res
             res.output_files = out.write_all(plot=plot)
         results.append(res)

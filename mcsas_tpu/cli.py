@@ -112,6 +112,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "size and optional q-axis size (e.g. --mesh 4 "
                         "or --mesh 4,2; product must not exceed "
                         "jax.device_count())")
+    p.add_argument("--prewarm", action="store_true",
+                   help="AOT-compile all engine executables (and bake "
+                        "parameter tables) before the first fit: moves "
+                        "the remote first-compile cost (up to minutes "
+                        "per executable) out of the timed analysis; "
+                        "compiled programs persist in the compile "
+                        "cache (MCSAS_TPU_COMPILE_CACHE) for later "
+                        "processes")
     p.add_argument("--list-models", action="store_true",
                    help="list available models and exit")
     p.add_argument("-l", "--nolog", action="store_true",
@@ -221,7 +229,8 @@ def main(argv=None) -> int:
             return 2
     results = run_files(args.filenames, model=bound, cfg=cfg,
                         histograms=specs, data_config=data_config,
-                        out_dir=args.outdir, plot=args.plot, mesh=mesh)
+                        out_dir=args.outdir, plot=args.plot, mesh=mesh,
+                        prewarm=args.prewarm)
     failures = sum(0 if r.converged else 1 for r in results)
     for r in results:
         status = "converged" if r.converged else "NOT CONVERGED"

@@ -138,8 +138,16 @@ class ShardedEnsemble(McSASEngine):
                                             NamedSharding(mesh, sp)),
             self.consts, consts_spec)
 
-        self._init_batch = jax.jit(lambda keys: sm_init(
+        # the prewarm plan re-registers against the SHARDED executables
+        # (the parent's init/chunk/drive entries point at launch paths
+        # this engine never runs); the pack entry carries over unchanged
+        self._prewarm_plan = [e for e in self._prewarm_plan
+                              if e[0] == "pack"]
+        _sm_init_jit = jax.jit(lambda keys: sm_init(
             keys, grid_sharded, consts_sharded))
+        self._init_batch = _sm_init_jit
+        self._prewarm_plan.append(
+            ("init", _sm_init_jit, lambda k, s, ri: (k,)))
         if self._pallas_shard:
             # a per-shard engine clone builds the kernel (fused or
             # prefetch) for the local repetition count; shard_map runs it
@@ -179,6 +187,8 @@ class ShardedEnsemble(McSASEngine):
         else:
             self._chunk_batch = jax.jit(lambda state, ri: sm_chunk(
                 state, ri, grid_sharded, consts_sharded))
+        self._prewarm_plan.append(
+            ("chunk", self._chunk_batch, lambda k, s, ri: (s, ri)))
         self._reinit_merge = jax.jit(self._merge_reinit)
 
         # ---- single-launch drive (round-4): a device-side while_loop
@@ -200,6 +210,8 @@ class ShardedEnsemble(McSASEngine):
         drive = self._build_drive(self._chunk_batch, fast_body)
         if drive is not None:
             self._drive = jax.jit(drive)
+            self._prewarm_plan.append(
+                ("drive", self._drive, lambda k, s, ri: (s, ri)))
 
             def init_seeded(seed):
                 keys = jax.random.split(jax.random.PRNGKey(seed),
@@ -211,10 +223,15 @@ class ShardedEnsemble(McSASEngine):
                 _ri0 = jnp.zeros((), jnp.int32)
                 self._init_drive = lambda seed: self._drive(
                     _init_jit(seed), _ri0)
+                self._prewarm_plan.append(
+                    ("init-seed", _init_jit,
+                     lambda k, s, ri: (cfg.seed,)))
             else:
                 _fused = jax.jit(lambda seed: drive(
                     init_seeded(seed), jnp.zeros((), jnp.int32)))
                 self._init_drive = _fused
+                self._prewarm_plan.append(
+                    ("init-drive", _fused, lambda k, s, ri: (cfg.seed,)))
         else:
             self._drive = None
             self._init_drive = None

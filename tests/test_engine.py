@@ -230,3 +230,28 @@ def test_draw_params_scales_to_ranges(sphere_bound):
     lo, hi = sphere_bound.ranges[0]
     assert p.shape == (500, 1)
     assert p.min() >= lo and p.max() <= hi
+
+
+def test_prewarm_compiles_launch_plan(sphere_data, sphere_bound, refdata):
+    """prewarm() AOT-compiles every executable in the launch plan
+    (numeric timings, no skip strings) and a subsequent run() still
+    works, for both the elementwise drive tier and a table-tier
+    engine (VERDICT r4 #6 cold-start remedy)."""
+    eng = McSASEngine(sphere_data, sphere_bound,
+                      small_cfg(candidates_per_step=4))
+    timings = eng.prewarm()
+    assert {"init", "chunk", "pack", "drive"} <= set(timings)
+    assert all(isinstance(v, float) for v in timings.values()), timings
+    res = eng.run()
+    assert np.all(np.isfinite(res.conval))
+
+    bound = get_model("CylindersIsotropic").bind(
+        active=("radius",), active_ranges={"radius": (1e-9, 5e-8)},
+        fixed={"useAspect": 1.0, "aspect": 10.0})
+    engt = McSASEngine(sphere_data, bound,
+                       small_cfg(candidates_per_step=4, table_ff="on"))
+    assert engt.uses_table
+    timings = engt.prewarm()
+    assert all(isinstance(v, float) for v in timings.values()), timings
+    res = engt.run()
+    assert np.all(np.isfinite(res.conval))

@@ -337,6 +337,11 @@ def test_sharded_drive_built_and_matches_host_loop(setup, cpus):
     se = ShardedEnsemble(d, bound, cfg, mesh=make_mesh((4, 2), cpus))
     assert se._drive is not None, "sharded fast body lost its drive"
     assert se._init_drive is not None
+    # the prewarm plan covers the SHARDED executables (init/chunk/drive
+    # re-registered over the parent's) and AOT-compiles cleanly
+    timings = se.prewarm()
+    assert {"init", "chunk", "drive"} <= set(timings)
+    assert all(isinstance(v, float) for v in timings.values()), timings
     res_drive = se.run()
     res_host = se.run(progress=lambda info: None)   # forces host loop
     np.testing.assert_array_equal(res_drive.contribs, res_host.contribs)
