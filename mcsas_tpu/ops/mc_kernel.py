@@ -557,7 +557,7 @@ def prefetch_seg_steps(engine) -> int:
 
 
 def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
-                            seg_steps=None):
+                            seg_steps=None, row_dtype=None):
     """Returns chunk_fn(state, ri) -> (state, ri) using the prefetch
     kernel: one call advances ``seg_steps`` MC steps in a single launch
     (proposal draw + batched row evaluation in XLA, solve/accept
@@ -568,7 +568,14 @@ def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
     path (same threefry draws via ``engine._draw_chunk_proposals``, same
     ``intensity_row`` evaluation); only the solve's reduction
     association differs.
+
+    *row_dtype* is an A/B probe knob (tools/bf16_rows_probe.py): the
+    streamed candidate-row tensor — the kernel's dominant HBM stream —
+    is cast to this dtype in HBM and converted back to float32 at VMEM
+    entry.  Production uses float32 (the measured bf16 verdict lives in
+    BENCHMARKS.md); the solve/accept math is float32 either way.
     """
+    row_dtype = jnp.float32 if row_dtype is None else jnp.dtype(row_dtype)
     if interpret is None:
         interpret = engine._compute_device().platform != "tpu"
     bound = engine.bound
@@ -638,7 +645,7 @@ def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
             del rset_in
 
         kiota = jax.lax.broadcasted_iota(jnp.int32, (rb, k_cand), 1)
-        rows = rows_in[0]                              # (rb, K, nq)
+        rows = rows_in[0].astype(jnp.float32)          # (rb, K, nq)
         cand_p = cands_in[0]                           # (rb, K, P)
 
         # ---- incremental totals and closed-form solve per candidate
@@ -788,7 +795,7 @@ def build_prefetch_chunk_fn(engine, interpret=None, rep_block=None,
                 [proposals[:, :, :k_global, :], local_c], axis=2)
         rows = row_eval(
             proposals.reshape(seg * n_reps * k_cand, n_p)
-        ).reshape(seg, n_reps, k_cand, nq).astype(jnp.float32)
+        ).reshape(seg, n_reps, k_cand, nq).astype(row_dtype)
         fstate = jnp.concatenate(
             [state.scale[:, None], state.background[:, None],
              state.conval[:, None],
