@@ -8,7 +8,10 @@ executables XLA compiled (parsed from the compile log), and the warm
 repeat inside the same process.  Run sequentially — each child is a TPU
 process (one at a time, CLAUDE.md).
 
-Usage: python tools/coldstart.py [--tier=sphere ...]
+Usage: python tools/coldstart.py [--tier=sphere ...] [--prewarm]
+With --prewarm the child prewarms the engine first (the user-facing
+remedy: fit(..., prewarm=True) / mcsas-tpu --prewarm), so cold_s is
+the first fit a prewarmed user actually times.
 Prints one JSON line per tier.
 """
 import json
@@ -58,6 +61,18 @@ kw = dict(num_contribs=300, num_reps=10, max_iterations=8_000_000,
           max_retries=1, show_incomplete=True)
 kw.update(extra)
 cfg = McSASConfig(**kw)
+prewarm = bool(int(os.environ.get("MCSAS_TPU_COLDSTART_PREWARM", "0")))
+pre = 0.0
+if prewarm:
+    # the user-facing cold-start remedy: AOT-compile the launch plan
+    # (and bake tables) FIRST, then time the first fit they care about
+    t0 = time.perf_counter()
+    from mcsas_tpu.api import _cached_engine, _default_unbounded_ranges
+    from mcsas_tpu.core.engine import McSASEngine
+    eng = _cached_engine(McSASEngine, data,
+                         _default_unbounded_ranges(bound, data), cfg)
+    eng.prewarm()
+    pre = time.perf_counter() - t0
 t0 = time.perf_counter()
 res = mt.fit(data, model=bound, cfg=cfg)
 cold = time.perf_counter() - t0
@@ -65,7 +80,8 @@ t0 = time.perf_counter()
 res = mt.fit(data, model=bound, cfg=cfg)
 warm = time.perf_counter() - t0
 print(json.dumps(dict(
-    tier=tier, cold_s=round(cold, 2), warm_s=round(warm, 3),
+    tier=tier, prewarm_s=round(pre, 2) if prewarm else None,
+    cold_s=round(cold, 2), warm_s=round(warm, 3),
     converged=int(res.engine.converged.sum()),
     pallas=bool(res.engine.used_pallas),
     prefetch=bool(res.engine.used_prefetch),
@@ -75,8 +91,9 @@ print(json.dumps(dict(
 TIERS = ["sphere", "gaussian-chain", "cylinders-table", "kholodenko-table"]
 
 
-def run_tier(tier: str, fresh_cache: bool) -> dict:
-    env = dict(os.environ, JAX_LOG_COMPILES="1")
+def run_tier(tier: str, fresh_cache: bool, prewarm: bool = False) -> dict:
+    env = dict(os.environ, JAX_LOG_COMPILES="1",
+               MCSAS_TPU_COLDSTART_PREWARM=str(int(prewarm)))
     env.setdefault("MCSAS_TPU_TABLE_CACHE_DIR",
                    os.path.join(_REPO, ".table_cache"))
     if fresh_cache:
@@ -105,5 +122,7 @@ def run_tier(tier: str, fresh_cache: bool) -> dict:
 
 if __name__ == "__main__":
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--tier=")]
+    pw = "--prewarm" in sys.argv
     for tier in (only or TIERS):
-        print(json.dumps(run_tier(tier, fresh_cache=False)), flush=True)
+        print(json.dumps(run_tier(tier, fresh_cache=False, prewarm=pw)),
+              flush=True)
