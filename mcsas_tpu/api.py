@@ -219,6 +219,27 @@ def _cached_engine(engine_cls, data: SASData, bound: BoundModel,
     return eng
 
 
+def prewarm_post(data: SASData, bound: BoundModel, cfg: McSASConfig,
+                 histograms=None) -> None:
+    """Warms the POST-pass executables (fractions/histograms) on a dummy
+    contribution set at each range's geometric mean.
+
+    The post pass compiles its own programs (f64 exact-rule intensity
+    bank, histogram reductions) outside the engine's launch plan — for
+    quadrature models those dominate what a first fit still pays after
+    ``engine.prewarm()`` (measured: kholodenko 452 s of post compiles vs
+    0.15 s warm).  Called by ``fit(..., prewarm=True)``."""
+    import math as _math
+    mid = np.asarray([[_math.sqrt(max(lo, 1e-300) * hi)
+                       for lo, hi in bound.ranges]], np.float64)
+    dummy = np.broadcast_to(
+        mid, (cfg.num_reps, cfg.num_contribs, bound.n_active))
+    try:
+        histogram_all(dummy, data, bound, cfg, histograms)
+    except Exception as e:   # pragma: no cover - diagnostics only
+        log.warning("post-pass prewarm skipped: %s", e)
+
+
 def fit(data: Union[SASData, str, os.PathLike],
         model=None,
         cfg: Optional[McSASConfig] = None,
@@ -256,6 +277,7 @@ def fit(data: Union[SASData, str, os.PathLike],
         engine = _cached_engine(engine_cls, data, bound, cfg)
     if prewarm:
         engine.prewarm()
+        prewarm_post(data, bound, cfg, histograms)
     eng_result = engine.run(stop=stop, progress=progress)
     if not eng_result.converged.all() and not cfg.show_incomplete:
         log.warning(

@@ -67,11 +67,13 @@ if prewarm:
     # the user-facing cold-start remedy: AOT-compile the launch plan
     # (and bake tables) FIRST, then time the first fit they care about
     t0 = time.perf_counter()
-    from mcsas_tpu.api import _cached_engine, _default_unbounded_ranges
+    from mcsas_tpu.api import (_cached_engine, _default_unbounded_ranges,
+                               prewarm_post)
     from mcsas_tpu.core.engine import McSASEngine
-    eng = _cached_engine(McSASEngine, data,
-                         _default_unbounded_ranges(bound, data), cfg)
+    b = _default_unbounded_ranges(bound, data)
+    eng = _cached_engine(McSASEngine, data, b, cfg)
     eng.prewarm()
+    prewarm_post(data, b, cfg)
     pre = time.perf_counter() - t0
 t0 = time.perf_counter()
 res = mt.fit(data, model=bound, cfg=cfg)
