@@ -160,6 +160,18 @@ elif model_name == "cylinder":
     model.length.setActive(True)
     model.length.setActiveRange((5e-9, 150e-9))
     fitpar = model.radius
+elif model_name == "coreshell":
+    # the second joint 2-parameter reconstruction (core radius x shell
+    # thickness) on an ANALYTIC family — no quadrature rule to match
+    # (sphericalcoreshell.py:50-69); explicit active boxes matching the
+    # synthetic csmix.dat populations (tools/make_csdata.py)
+    from mcsas.models.sphericalcoreshell import SphericalCoreShell
+    model = SphericalCoreShell()
+    model.radius.setActive(True)
+    model.radius.setActiveRange((1e-9, 15e-9))
+    model.t.setActive(True)
+    model.t.setActiveRange((0.3e-9, 5e-9))
+    fitpar = model.radius
 else:
     from mcsas.models.sphere import Sphere
     model = Sphere()
@@ -173,8 +185,8 @@ lo, hi = fitpar.activeRange()
 # multi-parameter fit, the primary fitpar otherwise (kholodenko keeps
 # its legacy single-param fixture format: its lenKuhn/lenContour are
 # active but unhistogrammed, like the original runner)
-histpars = list(model.activeParams()) if model_name == "cylinder" \
-    else [fitpar]
+histpars = list(model.activeParams()) \
+    if model_name in ("cylinder", "coreshell") else [fitpar]
 for par in histpars:
     plo, phi = par.activeRange()
     # the GUI adds histograms via the range list; default shape: 50
@@ -258,7 +270,7 @@ def main():
                     help="use quickstartdemo1.csv (the 36 s workload)")
     ap.add_argument("--model", default="sphere",
                     choices=("sphere", "gaussianchain", "kholodenko",
-                             "cylinder"),
+                             "cylinder", "coreshell"),
                     help="reference model family to fit")
     ap.add_argument("--no-rebin", action="store_true",
                     help="disable the log rebin (nBin=0) — bypasses the "
@@ -298,6 +310,16 @@ def main():
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "testdata", "cylmix.dat")
         default_out = "testdata/reference_cyl_fixture.json"
+        contribs = args.contribs or 100
+        reps = args.reps or 5
+    elif args.model == "coreshell":
+        # synthetic 2-population core-shell dataset (tools/make_csdata.py);
+        # the family is analytic so the reference runs at its sphere-class
+        # proposal rate — full 5-rep joint fit is feasible
+        datafile = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "testdata", "csmix.dat")
+        default_out = "testdata/reference_cs_fixture.json"
         contribs = args.contribs or 100
         reps = args.reps or 5
     else:
