@@ -597,6 +597,90 @@ def test_crossval_coreshell_local_moves(cs_fixture):
                              check_moments=False)
 
 
+# ------------------------------- SMEARED MC-level crossval (round 5)
+
+_SMEARMC_FIXTURE = _TESTDATA / "reference_smearmc_fixture.json"
+
+
+@pytest.fixture(scope="module")
+def smearmc_fixture():
+    """The reference's own slit-smeared MC run (tools/run_reference.py
+    --model smearsphere on the synthetic smearmix.dat).  All prior
+    MC-level crossvals fit UNSMEARED curves; the smearing path itself is
+    anchored deterministically (bitwise locs + ≤7.3e-10 intensities,
+    test_crossval_smearing_path) — this fixture covers the COMPOSITION
+    smearing × MC engine end to end (reference: the smeared calcIntensity
+    branch, bases/model/sasmodel.py:56-73, engaged under the live MC
+    loop mcsas/mcsas.py:354-404)."""
+    if not _SMEARMC_FIXTURE.exists():
+        pytest.skip("reference smeared-MC fixture not generated "
+                    "(tools/run_reference.py --model smearsphere)")
+    fix = json.loads(_SMEARMC_FIXTURE.read_text())
+    if "error" in fix:
+        pytest.skip(f"reference run failed: {fix['error']}")
+    # the fixture must provably have run the reference's SMEARED branch:
+    # the runner records the locs matrix shape + integration points it
+    # asserted before calc() (run_reference.py smearAudit)
+    aud = fix["workload"]["smearAudit"]
+    assert aud and aud["locsShape"][1] > 1 and aud["nIntPoints"] > 1
+    # 1-parameter fixtures key histograms by weighting alone; normalize
+    # to the param:weight form _cyl_check_distributions consumes
+    for w in ("vol", "num"):
+        if w in fix["histograms"]:
+            fix["histograms"][f"radius:{w}"] = fix["histograms"][w]
+    return fix
+
+
+def _smearmc_engine_run(fix, **variant):
+    """The engine on the reference's smeared workload: the same
+    trapezoidal slit geometry (SI umbra:penumbra recorded in the
+    fixture), the same no-rebin route, the same active box."""
+    from mcsas_tpu.data import DataConfig, TrapezoidSmearing
+    wl = fix["workload"]
+    u, p = (float(v) for v in wl["smearing"].split(":"))
+    d = data.load(_TESTDATA / "smearmix.dat", config=DataConfig(
+        n_bin=0, smearing=TrapezoidSmearing(
+            do_smear=True, umbra=u, penumbra=p)))
+    assert d.locs is not None and d.locs.shape[1] == \
+        fix["workload"]["smearAudit"]["nIntPoints"]
+    np.testing.assert_allclose(d.q, np.asarray(fix["fitX0"]), rtol=1e-9)
+    ranges = {k: tuple(v) for k, v in wl["activeRanges_m"].items()}
+    bound = get_model("Sphere").bind(active=("radius",),
+                                     active_ranges=ranges)
+    cfg = McSASConfig(num_contribs=int(wl["numContribs"]),
+                      num_reps=int(wl["numReps"]),
+                      convergence_criterion=wl["convergenceCriterion"],
+                      max_iterations=8_000_000, chunk_steps=4000,
+                      seed=101, max_retries=1, **variant)
+    eng = McSASEngine(d, bound, cfg)
+    res = eng.run()
+    assert res.converged.all(), \
+        "engine must reach the reference's chi2 criterion"
+    return d, bound, cfg, res
+
+
+def test_crossval_smeared_mc_reconstruction(smearmc_fixture):
+    """Slit-smeared 2-population sphere reconstruction against the
+    RUNNING reference in K=1 reference-stepping mode: distributions in
+    both weightings, moments and the smeared fit curve within the
+    reference's own tolerances."""
+    fix = smearmc_fixture
+    d, bound, cfg, res = _smearmc_engine_run(fix, candidates_per_step=1)
+    _cyl_check_distributions(fix, d, bound, cfg, res, ("radius",))
+
+
+def test_crossval_smeared_mc_local_moves(smearmc_fixture):
+    """The K=128 + local-move accelerator on the same smeared reference
+    run: everything the DATA constrains must match (vol-weighted bars +
+    the smeared fit curve; the number-weighted tail differs under
+    best-of-K accept, see test_crossval_headline_observables)."""
+    fix = smearmc_fixture
+    d, bound, cfg, res = _smearmc_engine_run(
+        fix, candidates_per_step=128, local_moves=0.5)
+    _cyl_check_distributions(fix, d, bound, cfg, res, ("radius",),
+                             weights=("vol",), check_moments=False)
+
+
 # ------------------------------------------------- ff-curve crossval (r4)
 
 _FF_FIXTURE = _TESTDATA / "reference_ff_fixture.json"

@@ -92,10 +92,18 @@ import json, sys, time
 import numpy as np
 
 (workdir, datafile, n_contribs, n_reps, max_iter, out,
- model_name, no_rebin, conv_crit) = sys.argv[1:10]
+ model_name, no_rebin, conv_crit, smear) = sys.argv[1:11]
 n_contribs, n_reps, max_iter = int(n_contribs), int(n_reps), int(max_iter)
 no_rebin = int(no_rebin)
 sys.path.insert(0, workdir)
+
+# py3 shim (same as run_reference_smear.py / run_reference_ff.py):
+# py2-era numpy accepted a float `num`; the reference passes
+# np.ceil(n/2.) straight into logspace (sasconfig.py:133)
+_orig_logspace = np.logspace
+def _logspace(start, stop, num=50, **kw):
+    return _orig_logspace(start, stop, int(num), **kw)
+np.logspace = _logspace
 
 import logging, os
 # INFO exposes the reference's 2 Hz hot-loop progress lines
@@ -126,6 +134,31 @@ if no_rebin:
     data.config.nBin.setValue(0)
     data._reBin()
     data._prepareUncertainty()
+if smear:
+    # Slit smearing with the trapezoidal beam profile, headless: the GUI
+    # sets these via the data-settings widgets; programmatically the
+    # equivalent is setting the SmearingConfig parameters (SI values —
+    # sasconfig.py:79-99,122-149) and re-deriving the locs matrix exactly
+    # as SASData.updateConfig does (sasdata.py:165).  The smeared
+    # calcIntensity then engages via canSmear+doSmear+inputValid
+    # (sasmodel.py:56-73).
+    u, p = (float(v) for v in smear.split(":"))
+    sm = data.config.smearing
+    sm.doSmear.setValue(True)
+    sm.umbra.setValue(u)
+    sm.penumbra.setValue(p)
+    data.locs = data.config.prepareSmearing(data.x0.binnedData)
+    assert data.locs is not None and data.locs.ndim == 2, \
+        "smearing did not engage (inputValid gate?)"
+    # prepared (qOffset, weights) is what calcIntensity consumes at fit
+    # time (sasmodel.py:68) — assert it exists so the fixture provably
+    # ran the smeared branch, and record the geometry for the test side
+    _qoff, _wts = sm.prepared
+    assert sm.inputValid() and sm.doSmear() and _qoff.size > 1
+    smear_audit = {"locsShape": [int(s) for s in data.locs.shape],
+                   "nIntPoints": int(_qoff.size)}
+else:
+    smear_audit = None
 try:
     est = data.sphericalSizeEst()
 except Exception:
@@ -172,6 +205,14 @@ elif model_name == "coreshell":
     model.t.setActive(True)
     model.t.setActiveRange((0.3e-9, 5e-9))
     fitpar = model.radius
+elif model_name == "smearsphere":
+    # the SMEARED MC anchor (slit-smeared 2-population sphere mix,
+    # tools/make_smearmix.py): Sphere is smearable (sphere.py:15) and
+    # analytic; explicit active box matching the synthetic populations
+    from mcsas.models.sphere import Sphere
+    model = Sphere()
+    model.radius.setActiveRange((0.5e-9, 15e-9))
+    fitpar = model.radius
 else:
     from mcsas.models.sphere import Sphere
     model = Sphere()
@@ -186,7 +227,7 @@ lo, hi = fitpar.activeRange()
 # its legacy single-param fixture format: its lenKuhn/lenContour are
 # active but unhistogrammed, like the original runner)
 histpars = list(model.activeParams()) \
-    if model_name in ("cylinder", "coreshell") else [fitpar]
+    if model_name in ("cylinder", "coreshell", "smearsphere") else [fitpar]
 for par in histpars:
     plo, phi = par.activeRange()
     # the GUI adds histograms via the range list; default shape: 50
@@ -240,7 +281,8 @@ fix = {
     "workload": {"datafile": datafile, "numContribs": n_contribs,
                  "numReps": n_reps, "maxIterations": max_iter,
                  "convergenceCriterion": float(conv_crit), "model": model_name,
-                 "noRebin": bool(no_rebin),
+                 "noRebin": bool(no_rebin), "smearing": smear or None,
+                 "smearAudit": smear_audit,
                  "activeRange_m": [float(lo), float(hi)],
                  "activeRanges_m": {
                      p.name(): [float(min(p.activeRange())),
@@ -270,8 +312,12 @@ def main():
                     help="use quickstartdemo1.csv (the 36 s workload)")
     ap.add_argument("--model", default="sphere",
                     choices=("sphere", "gaussianchain", "kholodenko",
-                             "cylinder", "coreshell"),
+                             "cylinder", "coreshell", "smearsphere"),
                     help="reference model family to fit")
+    ap.add_argument("--smear", default="",
+                    metavar="UMBRA:PENUMBRA",
+                    help="slit smearing, trapezoidal profile, SI 1/m "
+                         "values (e.g. 0.1e9:0.4e9); default off")
     ap.add_argument("--no-rebin", action="store_true",
                     help="disable the log rebin (nBin=0) — bypasses the "
                     "reference's sigma=-1 rebin bug on gauss2/kho files")
@@ -322,6 +368,19 @@ def main():
         default_out = "testdata/reference_cs_fixture.json"
         contribs = args.contribs or 100
         reps = args.reps or 5
+    elif args.model == "smearsphere":
+        # synthetic slit-smeared 2-population sphere dataset
+        # (tools/make_smearmix.py); no-rebin route so the smeared curve
+        # is exactly representable on the fit grid
+        datafile = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "testdata", "smearmix.dat")
+        default_out = "testdata/reference_smearmc_fixture.json"
+        contribs = args.contribs or 100
+        reps = args.reps or 5
+        if not args.smear:
+            args.smear = "0.1e9:0.4e9"     # make_smearmix.py geometry
+        args.no_rebin = True
     else:
         datafile = os.path.join(REFERENCE, "testdata",
                                 "sasfit_sphere-10-1.dat")
@@ -341,7 +400,8 @@ def main():
         rc = subprocess.run(
             [sys.executable, "-u", "-c", _RUNNER, workdir, datafile,
              str(args.contribs), str(args.reps), str(args.max_iter), out,
-             args.model, str(int(args.no_rebin)), str(args.conv_crit)],
+             args.model, str(int(args.no_rebin)), str(args.conv_crit),
+             args.smear],
             timeout=args.timeout).returncode
         print(f"reference run rc={rc} in {time.time() - t0:.1f}s")
         return rc
