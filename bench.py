@@ -369,12 +369,19 @@ def certify():
             cdata, cbound, ccfg = da.build_config(entry)
             row = da.audit(entry[0], cdata, cbound, ccfg)
             cert[entry[0]] = {k: row[k] for k in keep if k in row}
-            if entry[0] in sharded_tiers:
+        except Exception as e:  # record, don't kill the bench artifact
+            cert[entry[0]] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            continue
+        if entry[0] in sharded_tiers:
+            # separate try: a sharded-leg failure must not clobber the
+            # already-recorded green unsharded row above
+            try:
                 row = da.audit_sharded(entry[0], cdata, cbound, ccfg)
                 cert[entry[0] + "+sharded"] = {
                     k: row[k] for k in keep_sh if k in row}
-        except Exception as e:  # record, don't kill the bench artifact
-            cert[entry[0]] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            except Exception as e:
+                cert[entry[0] + "+sharded"] = {
+                    "error": f"{type(e).__name__}: {e}"[:300]}
     return cert
 
 

@@ -275,9 +275,15 @@ def fit(data: Union[SASData, str, os.PathLike],
                                 mesh=mesh)
     else:
         engine = _cached_engine(engine_cls, data, bound, cfg)
-    if prewarm:
+    if prewarm and not getattr(engine, "_prewarm_done", False):
+        # once per cached engine: over a same-shape file series,
+        # re-prewarming would re-trace the whole launch plan and
+        # re-EXECUTE the dummy post pass for every file, all pure waste
+        # after the first (the post executables are keyed by the same
+        # shapes the engine cache key carries)
         engine.prewarm()
         prewarm_post(data, bound, cfg, histograms)
+        engine._prewarm_done = True
     eng_result = engine.run(stop=stop, progress=progress)
     if not eng_result.converged.all() and not cfg.show_incomplete:
         log.warning(

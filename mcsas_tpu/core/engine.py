@@ -908,9 +908,15 @@ class McSASEngine:
         # fetched successfully the executable is proven legalizable, so a
         # later error mentioning Mosaic is a runtime/watchdog failure —
         # restarting a (possibly long) run from scratch would silently
-        # discard it; re-raise instead
+        # discard it; re-raise instead.  Proven-ness is PER EXECUTABLE
+        # (drive launch vs host chunk loop are distinct XLA programs): a
+        # cached engine whose drive is proven must still degrade when a
+        # progress-callback run first-compiles the standalone chunk
+        # executable and Mosaic rejects it there.
+        proven = (getattr(self, "_active_step_mode", None)
+                  in getattr(self, "_proven_step_modes", set()))
         return (self.cfg.use_pallas == "auto" and kernelish
-                and not getattr(self, "_kernel_proven", False)
+                and not proven
                 and "Mosaic" in f"{type(e).__name__}: {e}")
 
     def _mosaic_fallback_engine(self) -> "McSASEngine":
@@ -935,6 +941,7 @@ class McSASEngine:
         drive_mode = (self._drive is not None and stop is None
                       and progress is None and self.sharding is None)
         step_fn = self._drive if drive_mode else self._chunk_batch
+        self._active_step_mode = "drive" if drive_mode else "chunk"
         packed = None
         if drive_mode:
             state, ri, packed = self._init_drive(cfg.seed)
@@ -974,11 +981,14 @@ class McSASEngine:
                         background=state.background, conval=state.conval,
                         n_iter=state.n_iter,
                         n_moves=state.n_moves)).items()}
-            # a completed fetch proves the kernel executable compiled AND
+            # a completed fetch proves THIS step executable compiled AND
             # ran (dispatch is async; errors surface at the blocking
             # fetch) — from here on the Mosaic 'auto' fallback must not
-            # swallow runtime failures (_mosaic_fallback_applies)
-            self._kernel_proven = True
+            # swallow runtime failures of this executable
+            # (_mosaic_fallback_applies)
+            if not hasattr(self, "_proven_step_modes"):
+                self._proven_step_modes = set()
+            self._proven_step_modes.add(self._active_step_mode)
             conval = np.asarray(fetched["conval"], dtype=np.float64)
             n_iter = np.asarray(fetched["n_iter"], dtype=np.int64)
             converged = conval <= cfg.convergence_criterion

@@ -121,6 +121,23 @@ def test_fit_prewarm_full_pipeline(refdata):
                                   plain.histograms[0].bins.full)
 
 
+def test_fit_prewarm_once_per_cached_engine(refdata, monkeypatch):
+    """Over a same-shape series, prewarm runs ONCE per cached engine —
+    re-prewarming every file would re-trace the launch plan and
+    re-execute the dummy post pass for nothing."""
+    cfg = McSASConfig(num_contribs=10, num_reps=2, max_iterations=400,
+                      chunk_steps=200, seed=7, max_retries=0,
+                      show_incomplete=True)
+    path = refdata / "sasfit_sphere-10-1.dat"
+    mt.fit(path, cfg=cfg, prewarm=True)      # engine cached + prewarmed
+    from mcsas_tpu.core.engine import McSASEngine
+    calls = []
+    monkeypatch.setattr(McSASEngine, "prewarm",
+                        lambda self: calls.append(1))
+    mt.fit(path, cfg=cfg, prewarm=True)      # same engine: no re-prewarm
+    assert calls == []
+
+
 def test_cli_list_models(capsys):
     from mcsas_tpu.cli import main
     # works WITHOUT a data file (round 4: filenames are nargs='*' so

@@ -251,6 +251,44 @@ def test_auto_mode_mosaic_runtime_fallback(sphere_data, monkeypatch):
         eng3.run()
 
 
+def test_mosaic_fallback_proven_per_executable(sphere_data, monkeypatch):
+    """Proven-ness is per step executable: a cached engine whose DRIVE
+    launch is proven must still degrade when the standalone chunk
+    executable (progress-callback path, a different XLA program)
+    first-fails Mosaic — while a Mosaic-flavored error in an
+    already-proven mode re-raises (runtime/watchdog failure, not a
+    compile failure; restarting would silently discard the run)."""
+    class FakeMosaic(RuntimeError):
+        pass
+
+    cfg = dict(num_reps=2, max_iterations=500,
+               convergence_criterion=1e9, show_incomplete=True)
+    eng = make_engine(sphere_data, "on", **cfg)
+    eng.cfg = eng.cfg.replace(use_pallas="auto")
+    eng.run()                             # proves whatever mode ran
+    proven_mode = eng._active_step_mode
+    assert proven_mode in eng._proven_step_modes
+
+    def boom_in(mode):
+        def boom(*a, **k):
+            eng._active_step_mode = mode  # _run_attempts sets this first
+            raise FakeMosaic(
+                "Mosaic failed to compile TPU kernel: Not implemented")
+        return boom
+
+    # same (proven) executable: runtime failure semantics → re-raise
+    monkeypatch.setattr(eng, "_run_attempts", boom_in(proven_mode))
+    with pytest.raises(FakeMosaic):
+        eng.run()
+
+    # other (never-compiled) executable: compile failure → degrade
+    other = "chunk" if proven_mode == "drive" else "drive"
+    assert other not in eng._proven_step_modes
+    monkeypatch.setattr(eng, "_run_attempts", boom_in(other))
+    res = eng.run()
+    assert not res.used_pallas
+
+
 def test_single_rep_block(sphere_data, monkeypatch):
     """num_reps=1 (and per-device rep shards of 1 on a mesh) must keep
     both kernels alive: the one-hot row sums lower as matmuls
